@@ -1,0 +1,70 @@
+"""Reader for MMseqs2-style flat DBs (interop with the reference tool).
+
+A DB is a data file (or numbered per-thread files .0, .1, ...) of
+NUL-terminated entries plus an .index of "key \t offset \t length" lines
+(DBReader.h:58-62). Offsets are global across the numbered files
+concatenated in order. Entry length includes the trailing "\n\0".
+
+This lets users bring DBs produced by the reference (or feed our outputs
+into its tooling) and lets tests diff our stage outputs against oracle
+intermediates.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+class FlatDB:
+    def __init__(self, data: bytes, index: list[tuple[int, int, int]]):
+        self._data = data
+        self.index = index
+        self._by_key = {k: (o, l) for k, o, l in index}
+
+    @classmethod
+    def open(cls, base: str | Path) -> "FlatDB":
+        base = Path(base)
+        if base.exists() and not base.is_dir():
+            data = base.read_bytes()
+        else:
+            parts = []
+            i = 0
+            while (p := base.parent / f"{base.name}.{i}").exists():
+                parts.append(p.read_bytes())
+                i += 1
+            if not parts:
+                raise FileNotFoundError(base)
+            data = b"".join(parts)
+        index = []
+        with open(f"{base}.index") as fh:
+            for line in fh:
+                k, o, l = line.split("\t")
+                index.append((int(k), int(o), int(l)))
+        return cls(data, index)
+
+    @property
+    def size(self) -> int:
+        return len(self.index)
+
+    def keys(self) -> list[int]:
+        return [k for k, _, _ in self.index]
+
+    def get(self, key: int) -> str:
+        o, l = self._by_key[key]
+        return self._data[o:o + l].rstrip(b"\x00").decode()
+
+    def entries(self):
+        for k, o, l in self.index:
+            yield k, self._data[o:o + l].rstrip(b"\x00").decode()
+
+    def lines(self, key: int) -> list[str]:
+        return [ln for ln in self.get(key).split("\n") if ln]
+
+
+def read_lookup(base: str | Path) -> list[tuple[int, str, int]]:
+    out = []
+    with open(f"{base}.lookup") as fh:
+        for line in fh:
+            k, name, fileno = line.rstrip("\n").split("\t")
+            out.append((int(k), name, int(fileno)))
+    return out
