@@ -1,0 +1,110 @@
+"""Native (C++) host-side helpers: banded traceback, record formatting.
+
+The shared library is compiled on demand with g++ and cached next to the
+sources (content-hashed), so `pip install` machinery is not required.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB = None
+
+
+_SOURCES = ["banded_sw.cpp", "tantan.cpp"]
+
+
+def _build() -> Path:
+    srcs = [_DIR / s for s in _SOURCES]
+    tag = hashlib.sha1(b"".join(s.read_bytes() for s in srcs)).hexdigest()[:12]
+    out = _DIR / f"_native_{tag}.so"
+    if not out.exists():
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             *[str(s) for s in srcs], "-o", str(out)],
+            check=True, capture_output=True)
+    return out
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(str(_build()))
+        lib.banded_align.restype = ctypes.c_int
+        lib.banded_align.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # q
+            ctypes.POINTER(ctypes.c_uint8),   # t
+            ctypes.POINTER(ctypes.c_int8),    # bias
+            ctypes.c_int, ctypes.c_int,       # q_len, t_len
+            ctypes.POINTER(ctypes.c_int8),    # mat
+            ctypes.c_int,                     # alpha_size
+            ctypes.c_int,                     # score
+            ctypes.c_int, ctypes.c_int,       # gap_open, gap_extend
+            ctypes.c_int,                     # band_width
+            ctypes.c_char_p, ctypes.c_int,    # out, cap
+        ]
+        lib.tantan_mask.restype = ctypes.c_int
+        lib.tantan_mask.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # seq (in/out)
+            ctypes.c_int,                     # n
+            ctypes.POINTER(ctypes.c_double),  # ratio matrix
+            ctypes.c_int,                     # alpha
+            ctypes.c_int,                     # max_offset
+            ctypes.c_double, ctypes.c_double, # repeat_prob, repeat_end_prob
+            ctypes.c_double, ctypes.c_double, # decay, min_mask_prob
+            ctypes.c_uint8,                   # mask_to
+            ctypes.POINTER(ctypes.c_float),   # probs_out (nullable)
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def banded_align(q: np.ndarray, t: np.ndarray, bias: np.ndarray,
+                 mat_int8: np.ndarray, score: int,
+                 gap_open: int = 11, gap_extend: int = 1) -> str:
+    """CIGAR ops (expanded M/I/D string) for the [0..len) rectangle."""
+    lib = get_lib()
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    bias = np.ascontiguousarray(bias, dtype=np.int8)
+    band_width = abs(len(t) - len(q)) + 1
+    cap = len(q) + len(t) + 8
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.banded_align(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bias.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        len(q), len(t),
+        mat_int8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        mat_int8.shape[0], int(score), gap_open, gap_extend, band_width,
+        buf, cap)
+    if n < 0:
+        raise RuntimeError(f"banded_align failed: {n}")
+    return buf.raw[:n].decode("ascii")
+
+
+def tantan_mask(seq: np.ndarray, ratio: np.ndarray, mask_to: int,
+                max_offset: int = 50, repeat_prob: float = 0.005,
+                repeat_end_prob: float = 0.05, decay: float = 0.9,
+                min_mask_prob: float = 0.9,
+                return_probs: bool = False):
+    """Mask low-complexity/tandem repeats in place; returns the masked copy
+    (and optionally the posterior probabilities)."""
+    lib = get_lib()
+    out = np.ascontiguousarray(seq, dtype=np.uint8).copy()
+    ratio = np.ascontiguousarray(ratio, dtype=np.float64)
+    probs = np.zeros(len(out), dtype=np.float32) if return_probs else None
+    lib.tantan_mask(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+        ratio.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ratio.shape[0], max_offset, repeat_prob, repeat_end_prob, decay,
+        min_mask_prob, mask_to,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if return_probs
+        else ctypes.POINTER(ctypes.c_float)())
+    return (out, probs) if return_probs else out

@@ -1,0 +1,143 @@
+// Banded affine-gap DP with traceback for CIGAR emission.
+//
+// Host-side companion to the TPU score kernels: the device finds
+// (score, start, end) for every surviving pair; this routine re-runs the
+// DP inside the [start,end] rectangle with a band of width
+// |dbLen-qLen|+1 (doubling until the known score is reached) and walks
+// the direction matrix to produce M/I/D ops.
+//
+// Semantics follow the reference implementation banded_sw
+// (lib/mmseqs/src/alignment/StripedSmithWaterman.cpp:1348-1599) exactly:
+//   * E (query-consuming 'I') prefers open over extend on strict >
+//   * F (target-consuming 'D') prefers open over extend on strict >
+//   * H prefers the diagonal on ties (temp1 <= temp2 -> diag), otherwise
+//     the E direction wins ties against F only when e1 > f1
+//   * traceback starts in state H at the rectangle corner and forces a
+//     leading M
+// Cell scores: sub[q_i][t_j] + compositionBias[i].
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int band_u(int w, int i, int j) {
+    int x = i - w;
+    x = x > 0 ? x : 0;
+    return j - x + 1;
+}
+
+inline long band_d(int w, int i, int j, int p) {
+    int x = i - w;
+    x = x > 0 ? x : 0;
+    return (long)(j - x) * 3 + p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns length of ops written (M/I/D chars into out_ops, max out_cap),
+// or -1 on failure (score not reached even at max band), -2 if out_cap
+// too small.
+int banded_align(const uint8_t* q, const uint8_t* t, const int8_t* bias,
+                 int q_len, int t_len, const int8_t* mat, int alpha_size,
+                 int score, int gap_open, int gap_extend, int band_width,
+                 char* out_ops, int out_cap) {
+    std::vector<int32_t> h_b, e_b, h_c;
+    std::vector<int8_t> direction;
+    long width = 0, width_d = 0;
+    int max_h = 0;
+
+    for (;;) {
+        width = (long)band_width * 2 + 3;
+        width_d = (long)band_width * 2 + 1;
+        h_b.assign(width + 2, 0);
+        e_b.assign(width + 2, 0);
+        h_c.assign(width + 2, 0);
+        direction.assign(width_d * 3 * (long)q_len, 0);
+        max_h = 0;
+
+        for (long j = 1; j < width - 1; ++j) h_b[j] = 0;
+        for (int i = 0; i < q_len; ++i) {
+            int beg = 0, end = t_len - 1, u = 0;
+            if (i - band_width > beg) beg = i - band_width;
+            if (i + band_width < end) end = i + band_width;
+            int edge = (end + 1 < width - 1) ? end + 1 : (int)(width - 1);
+            int f = 0;
+            h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+            f = 0;
+            int8_t* dline = direction.data() + width_d * 3 * (long)i;
+
+            for (int j = beg; j <= end; ++j) {
+                int b, e, d;
+                u = band_u(band_width, i, j);
+                e = band_u(band_width, i - 1, j);
+                b = band_u(band_width, i, j - 1);
+                d = band_u(band_width, i - 1, j - 1);
+                long de = band_d(band_width, i, j, 0);
+                long df = band_d(band_width, i, j, 1);
+                long dh = band_d(band_width, i, j, 2);
+
+                int temp1 = (i == 0) ? -gap_open : h_b[e] - gap_open;
+                int temp2 = (i == 0) ? -gap_extend : e_b[e] - gap_extend;
+                e_b[u] = temp1 > temp2 ? temp1 : temp2;
+                dline[de] = temp1 > temp2 ? 3 : 2;
+
+                temp1 = h_c[b] - gap_open;
+                temp2 = f - gap_extend;
+                f = temp1 > temp2 ? temp1 : temp2;
+                dline[df] = temp1 > temp2 ? 5 : 4;
+
+                int f1 = f > 0 ? f : 0;
+                int e1 = e_b[u] > 0 ? e_b[u] : 0;
+                temp1 = e1 > f1 ? e1 : f1;
+                temp2 = h_b[d] + mat[(int)q[i] * alpha_size + (int)t[j]] +
+                        (bias ? bias[i] : 0);
+
+                h_c[u] = temp1 > temp2 ? temp1 : temp2;
+                if (h_c[u] > max_h) max_h = h_c[u];
+                if (temp1 <= temp2) dline[dh] = 1;
+                else dline[dh] = e1 > f1 ? dline[de] : dline[df];
+            }
+            for (int j = 1; j <= u; ++j) h_b[j] = h_c[j];
+        }
+        if (max_h >= score) break;
+        if ((long)band_width * 2 > 2L * (q_len + t_len) + 8) return -1;
+        band_width *= 2;
+    }
+
+    // traceback
+    std::vector<char> ops;
+    ops.reserve(q_len + t_len);
+    int i = q_len - 1, j = t_len - 1;
+    int state = 2;  // h
+    long line = width_d * 3 * (long)(q_len - 1);
+    while (i > 0 || j > 0) {
+        long idx = band_d(band_width, i, j, state);
+        int8_t dir = direction[line + idx];
+        char op;
+        switch (dir) {
+            case 1: --i; --j; state = 2; line -= width_d * 3; op = 'M'; break;
+            case 2: --i; state = 0; line -= width_d * 3; op = 'I'; break;
+            case 3: --i; state = 2; line -= width_d * 3; op = 'I'; break;
+            case 4: --j; state = 1; op = 'D'; break;
+            case 5: --j; state = 2; op = 'D'; break;
+            default: return -1;
+        }
+        ops.push_back(op);
+    }
+    // the walk stops at (0,0): the final cell is always an M
+    ops.push_back('M');
+
+    if ((int)ops.size() > out_cap) return -2;
+    // ops were collected end->start; reverse
+    for (size_t k = 0; k < ops.size(); ++k) {
+        out_ops[k] = ops[ops.size() - 1 - k];
+    }
+    return (int)ops.size();
+}
+
+}  // extern "C"

@@ -1,0 +1,325 @@
+"""Alignment stage: candidates -> filtered, sorted alignment records.
+
+Orchestrates the batched SW kernels (ops/sw.py) + native banded traceback
+(native/) to reproduce the reference's Alignment::run / Matcher::getSWResult
+semantics (lib/mmseqs/src/alignment/Alignment.cpp:248-540, Matcher.cpp:60-142):
+
+  * canBeCovered length pre-check (Util.cpp:477-494)
+  * identity fast path for self-hits (scoreIdentical,
+    StripedSmithWaterman.cpp:1675-1710): score accumulates in int16
+  * forward SW -> (score, qEnd, tEnd); E-value from raw score + full
+    query length; early rejections for E-value/end-based coverage are
+    output-equivalent to the reference's in-kernel returns
+  * reverse SW -> (qStart, tStart) via terminate-column semantics
+  * banded traceback -> CIGAR; seqId = identical/alnLen (SEQ_ID_ALN_LEN)
+  * checkCriteria + Matcher::compareHits sort (eval asc, bit score desc,
+    tLen asc, tKey asc)
+
+Batching: pairs are bucketed by padded (qLen, tLen) to bound XLA
+recompiles; per-bucket batches are sized to cap device memory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..db.setdb import SetDB
+from ..ops.sw import sw_forward, sw_reverse
+from ..native import banded_align
+from ..stats.evalue import EvalueComputation, BLOSUM62_GAPPED_11_1
+from ..stats.submat import SubstitutionMatrix, load_substitution_matrix, composition_bias_int8
+from .records import AlnRecord
+
+COV_MODE_BIDIRECTIONAL = 0
+COV_MODE_QUERY = 2
+COV_MODE_TARGET = 1
+
+
+def can_be_covered(cov_thr: float, cov_mode: int, qlen: int, tlen: int) -> bool:
+    q = np.float32(qlen)
+    t = np.float32(tlen)
+    thr = np.float32(cov_thr)
+    if cov_mode == COV_MODE_BIDIRECTIONAL:
+        return bool(q / t >= thr and t / q >= thr)
+    if cov_mode == COV_MODE_QUERY:
+        return bool(t / q >= thr)
+    if cov_mode == COV_MODE_TARGET:
+        return bool(q / t >= thr)
+    return True
+
+
+def has_coverage(cov_thr: float, cov_mode: int, qcov: float, tcov: float) -> bool:
+    thr = np.float32(cov_thr)
+    if cov_mode == COV_MODE_BIDIRECTIONAL:
+        return bool(np.float32(qcov) >= thr and np.float32(tcov) >= thr)
+    if cov_mode == COV_MODE_QUERY:
+        return bool(np.float32(qcov) >= thr)
+    if cov_mode == COV_MODE_TARGET:
+        return bool(np.float32(tcov) >= thr)
+    return True
+
+
+def compute_cov(start: int, end: int, length: int) -> np.float32:
+    # StripedSmithWaterman.cpp:1671-1673
+    return np.float32((min(length, max(start, end)) - min(start, end) + 1)
+                      / np.float32(length))
+
+
+@dataclass
+class AlignmentParams:
+    gap_open: int = 11
+    gap_extend: int = 1
+    eval_thr: float = 0.001
+    cov_thr: float = 0.0
+    cov_mode: int = 0
+    seq_id_thr: float = 0.0
+    aln_len_thr: int = 0
+    max_accept: int = 2147483647
+    max_rejected: int = 2147483647
+    comp_bias_correction: bool = True
+    comp_bias_correction_scale: float = 1.0
+    add_backtrace: bool = True
+    include_identity: bool = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_len(x: int) -> int:
+    """Pad lengths to the next power of two (>=64) to bound XLA recompiles."""
+    n = 64
+    while n < x:
+        n *= 2
+    return n
+
+
+class AlignmentEngine:
+    def __init__(self, query_db: SetDB, target_db: SetDB,
+                 params: AlignmentParams | None = None,
+                 matrix: SubstitutionMatrix | None = None,
+                 same_qt_db: bool | None = None):
+        self.qdb = query_db
+        self.tdb = target_db
+        self.par = params or AlignmentParams()
+        self.matrix = matrix or load_substitution_matrix()
+        self.evaluer = EvalueComputation(target_db.total_residues,
+                                         BLOSUM62_GAPPED_11_1)
+        self.same_qt_db = (same_qt_db if same_qt_db is not None
+                           else query_db is target_db)
+        self._bias_cache: dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def _bias(self, qkey: int) -> np.ndarray:
+        if qkey not in self._bias_cache:
+            seq = self.qdb.sequence(qkey)
+            if self.par.comp_bias_correction:
+                self._bias_cache[qkey] = composition_bias_int8(
+                    seq, self.matrix, self.par.comp_bias_correction_scale)
+            else:
+                self._bias_cache[qkey] = np.zeros(len(seq), dtype=np.int8)
+        return self._bias_cache[qkey]
+
+    def _identity_record(self, qkey: int) -> AlnRecord:
+        seq = self.qdb.sequence(qkey)
+        bias = self._bias(qkey)
+        L = len(seq)
+        scores = (self.matrix.sub_int[seq, seq].astype(np.int64)
+                  + bias.astype(np.int64))
+        raw = np.int16(scores.sum())  # short accumulation (scoreIdentical)
+        evalue = float(self.evaluer.compute_evalue(int(raw), L))
+        bit = int(self.evaluer.compute_bit_score(int(raw)) + 0.5)
+        return AlnRecord(tkey=qkey, score=bit, seq_id=1.0, evalue=evalue,
+                         qstart=0, qend=L - 1, qlen=L, tstart=0, tend=L - 1,
+                         tlen=L, backtrace="M" * L, raw_score=int(raw),
+                         qcov=1.0, tcov=1.0)
+
+    # ------------------------------------------------------------------
+    def align_all(self, candidates: dict[int, list[int]],
+                  progress: bool = False) -> dict[int, list[AlnRecord]]:
+        """candidates: query key -> target keys (prefilter order).
+        Returns query key -> sorted accepted records."""
+        par = self.par
+        qdb, tdb = self.qdb, self.tdb
+        qlens_all = qdb.lengths
+        tlens_all = tdb.lengths
+
+        # Stage 0: identity + coverage pre-check, collect SW pairs
+        accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in candidates}
+        pairs: list[tuple[int, int]] = []
+        for qk, tkeys in candidates.items():
+            for tk in tkeys:
+                if not can_be_covered(par.cov_thr, par.cov_mode,
+                                      int(qlens_all[qk]), int(tlens_all[tk])):
+                    continue
+                if qk == tk and (par.include_identity or self.same_qt_db):
+                    accepted[qk].append(self._identity_record(qk))
+                else:
+                    pairs.append((qk, tk))
+
+        # Stage 1: forward SW, bucketed
+        fwd = self._run_forward(pairs)
+
+        # Stage 2: E-value/end-coverage filters -> reverse-pass batch
+        survivors: list[tuple[int, int, int, int, int, float]] = []
+        for (qk, tk), (score, q_end, t_end) in zip(pairs, fwd):
+            if t_end < 0:
+                continue
+            qlen = int(qlens_all[qk])
+            tlen = int(tlens_all[tk])
+            evalue = float(self.evaluer.compute_evalue(score, qlen))
+            if evalue > par.eval_thr:
+                continue  # would fail checkCriteria regardless of start
+            qcov0 = compute_cov(0, q_end, qlen)
+            tcov0 = compute_cov(0, t_end, tlen)
+            if not has_coverage(par.cov_thr, par.cov_mode, qcov0, tcov0):
+                continue  # ssw first coverage early-out
+            survivors.append((qk, tk, score, q_end, t_end, evalue))
+
+        starts = self._run_reverse(survivors)
+
+        # Stage 3: final coverage + traceback + checkCriteria
+        for (qk, tk, score, q_end, t_end, evalue), (q_start, t_start) in zip(
+                survivors, starts):
+            rec = self._finish_pair(qk, tk, score, q_start, q_end,
+                                    t_start, t_end, evalue)
+            if rec is not None:
+                accepted[qk].append(rec)
+
+        # Stage 3: sort by compareHits
+        for qk in accepted:
+            accepted[qk].sort(key=lambda r: (r.evalue, -r.score, r.tlen, r.tkey))
+        return accepted
+
+    # ------------------------------------------------------------------
+    def _run_forward(self, pairs: list[tuple[int, int]]
+                     ) -> list[tuple[int, int, int]]:
+        if not pairs:
+            return []
+        qlens_all = self.qdb.lengths
+        tlens_all = self.tdb.lengths
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for idx, (qk, tk) in enumerate(pairs):
+            key = (_bucket_len(int(qlens_all[qk])),
+                   _bucket_len(int(tlens_all[tk])))
+            buckets.setdefault(key, []).append(idx)
+
+        out: list[tuple[int, int, int] | None] = [None] * len(pairs)
+        for (lq, lt), idxs in sorted(buckets.items()):
+            max_batch = max(1, (1 << 20) // lq)
+            for s in range(0, len(idxs), max_batch):
+                chunk = idxs[s:s + max_batch]
+                B = len(chunk)
+                qarr = np.zeros((B, lq), dtype=np.uint8)
+                barr = np.zeros((B, lq), dtype=np.int8)
+                tarr = np.zeros((B, lt), dtype=np.uint8)
+                ql = np.zeros(B, dtype=np.int32)
+                tl = np.zeros(B, dtype=np.int32)
+                for bi, pidx in enumerate(chunk):
+                    qk, tk = pairs[pidx]
+                    qs = self.qdb.sequence(qk)
+                    ts = self.tdb.sequence(tk)
+                    qarr[bi, :len(qs)] = qs
+                    barr[bi, :len(qs)] = self._bias(qk)
+                    tarr[bi, :len(ts)] = ts
+                    ql[bi] = len(qs)
+                    tl[bi] = len(ts)
+                score, q_end, t_end = sw_forward(
+                    qarr, ql, tarr, tl, self.matrix.sub_int, barr,
+                    self.par.gap_open, self.par.gap_extend)
+                for bi, pidx in enumerate(chunk):
+                    out[pidx] = (int(score[bi]), int(q_end[bi]), int(t_end[bi]))
+        return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def _run_reverse(self, survivors) -> list[tuple[int, int]]:
+        """Batched reverse pass; returns (q_start, t_start) per survivor."""
+        if not survivors:
+            return []
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for idx, (qk, tk, score, q_end, t_end, _ev) in enumerate(survivors):
+            key = (_bucket_len(q_end + 1), _bucket_len(t_end + 1))
+            buckets.setdefault(key, []).append(idx)
+
+        out: list[tuple[int, int] | None] = [None] * len(survivors)
+        for (lq, lt), idxs in sorted(buckets.items()):
+            max_batch = max(1, (1 << 20) // lq)
+            for s in range(0, len(idxs), max_batch):
+                chunk = idxs[s:s + max_batch]
+                B = len(chunk)
+                qarr = np.zeros((B, lq), dtype=np.uint8)
+                barr = np.zeros((B, lq), dtype=np.int8)
+                tarr = np.zeros((B, lt), dtype=np.uint8)
+                ql = np.zeros(B, dtype=np.int32)
+                tl = np.zeros(B, dtype=np.int32)
+                term = np.zeros(B, dtype=np.int32)
+                for bi, sidx in enumerate(chunk):
+                    qk, tk, score, q_end, t_end, _ev = survivors[sidx]
+                    qr = self.qdb.sequence(qk)[:q_end + 1][::-1]
+                    br = self._bias(qk)[:q_end + 1][::-1]
+                    tr = self.tdb.sequence(tk)[:t_end + 1][::-1]
+                    qarr[bi, :len(qr)] = qr
+                    barr[bi, :len(br)] = br
+                    tarr[bi, :len(tr)] = tr
+                    ql[bi] = len(qr)
+                    tl[bi] = len(tr)
+                    term[bi] = score
+                _score, fj, fi, found = sw_reverse(
+                    qarr, ql, tarr, tl, self.matrix.sub_int, barr, term,
+                    self.par.gap_open, self.par.gap_extend)
+                for bi, sidx in enumerate(chunk):
+                    qk, tk, score, q_end, t_end, _ev = survivors[sidx]
+                    if not found[bi]:
+                        raise RuntimeError(
+                            f"forward/backward SW scores differ for q={qk} t={tk}")
+                    out[sidx] = (q_end - int(fi[bi]), t_end - int(fj[bi]))
+        return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def _finish_pair(self, qk: int, tk: int, score: int, q_start: int,
+                     q_end: int, t_start: int, t_end: int,
+                     evalue: float) -> AlnRecord | None:
+        par = self.par
+        qseq = self.qdb.sequence(qk)
+        tseq = self.tdb.sequence(tk)
+        qlen, tlen = len(qseq), len(tseq)
+        bias = self._bias(qk)
+
+        qcov = compute_cov(q_start, q_end, qlen)
+        tcov = compute_cov(t_start, t_end, tlen)
+        if not has_coverage(par.cov_thr, par.cov_mode, qcov, tcov):
+            return None
+
+        # banded traceback in the rectangle
+        ops = banded_align(qseq[q_start:q_end + 1], tseq[t_start:t_end + 1],
+                           bias[q_start:q_end + 1],
+                           self.matrix.sub_int.astype(np.int8), score,
+                           par.gap_open, par.gap_extend)
+        aa_ids = 0
+        qp, tp = q_start, t_start
+        for op in ops:
+            if op == "M":
+                aa_ids += int(qseq[qp] == tseq[tp])
+                qp += 1
+                tp += 1
+            elif op == "I":
+                qp += 1
+            else:
+                tp += 1
+        aln_len = len(ops)
+        seq_id = np.float32(aa_ids) / np.float32(aln_len)
+        bit = int(self.evaluer.compute_bit_score(score) + 0.5)
+
+        # checkCriteria (Alignment.cpp:548-567)
+        if not (evalue <= par.eval_thr
+                and seq_id >= np.float32(par.seq_id_thr)
+                and has_coverage(par.cov_thr, par.cov_mode, qcov, tcov)
+                and aln_len >= par.aln_len_thr):
+            return None
+        return AlnRecord(tkey=tk, score=bit, seq_id=float(seq_id),
+                         evalue=evalue, qstart=q_start, qend=q_end, qlen=qlen,
+                         tstart=t_start, tend=t_end, tlen=tlen,
+                         backtrace=ops, raw_score=score,
+                         qcov=float(qcov), tcov=float(tcov))

@@ -27,7 +27,7 @@ class AlnRecord:
     tstart: int
     tend: int
     tlen: int
-    backtrace: str = ""  # CIGAR, e.g. "47M1I15M"
+    backtrace: str = ""  # expanded ops "MMIID..."; serialized compressed
     raw_score: int = 0   # raw SW score (not serialized; kept for stats)
     qcov: float = 0.0
     tcov: float = 0.0
@@ -37,7 +37,7 @@ class AlnRecord:
                 fmt_double_3e(self.evalue), str(self.qstart), str(self.qend),
                 str(self.qlen), str(self.tstart), str(self.tend), str(self.tlen)]
         if add_backtrace:
-            cols.append(self.backtrace)
+            cols.append(compress_cigar(self.backtrace))
         return cols
 
     def line(self, add_backtrace: bool = True) -> str:

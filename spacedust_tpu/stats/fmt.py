@@ -26,10 +26,15 @@ def fmt_float_3f(x: float) -> str:
 
 
 def fmt_seq_id(seq_id: float) -> str:
-    """fastSeqIdToBuffer. `seq_id` must be the float32 value."""
+    """fastSeqIdToBuffer. `seq_id` must be the float32 value.
+
+    NB for 1.0 the reference emits "1.00": fastSeqIdToBuffer writes
+    "1.000" without advancing past the NUL, and resultToBuffer's
+    `*(tmpBuff-1) = '\\t'` (Matcher.cpp:287) overwrites the final '0'.
+    """
     s = np.float32(seq_id)
     if s == np.float32(1.0):
-        return "1.000"
+        return "1.00"
     out = "0."
     if s < np.float32(0.10):
         out += "0"

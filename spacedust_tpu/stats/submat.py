@@ -91,6 +91,35 @@ def load_substitution_matrix(name: str = "blosum62",
     )
 
 
+@lru_cache(maxsize=8)
+def load_pinned_matrix(name: str) -> SubstitutionMatrix:
+    """Load a pinned derived matrix (data/derived/*.json).
+
+    These are exact dumps of the reference's matrix-construction output
+    (integer scores, background, lambda, joint probabilities) for specific
+    (matrix, bitFactor) combos — the same pinning pattern the reference
+    uses for its Gumbel parameters (EvalueComputation.h:56-78). Guarantees
+    ulp-exact probability ratios for tantan masking.
+    Available: "vtml80_bf8" (k-mer seed matrix), "blosum62_bf2".
+    """
+    raw = json.loads((_DATA_DIR / "derived" / f"{name}.json").read_text())
+    assert raw["alphabet"] == AA_ORDER
+    prob = np.asarray(raw["prob"], dtype=np.float64)
+    sub_int = np.asarray(raw["sub_int"], dtype=np.int32)
+    p_back = np.asarray(raw["background"], dtype=np.float64)
+    q_back = prob.sum(axis=1)
+    q_back[X_INDEX] = 1e-5
+    return SubstitutionMatrix(
+        name=raw["name"].split("/")[-1],
+        lam=float(raw["lambda"]),
+        p_back=p_back,
+        prob=prob,
+        sub_float=np.log2(prob / (q_back[:, None] * q_back[None, :])),
+        sub_int=sub_int,
+        bit_factor=float(raw["bit_factor"]),
+    )
+
+
 def local_aa_bias_correction(seq: np.ndarray,
                              sub_int: np.ndarray,
                              p_back: np.ndarray,

@@ -91,7 +91,7 @@ def test_truncated_fisher_matches_bruteforce():
 
 
 def test_fmt_seq_id():
-    assert fmt_seq_id(1.0) == "1.000"
+    assert fmt_seq_id(1.0) == "1.00"
     assert fmt_seq_id(0.272) == "0.272"
     assert fmt_seq_id(0.05) == "0.050"
     assert fmt_seq_id(0.005) == "0.005"
