@@ -1,0 +1,427 @@
+"""K-mer prefilter: double-diagonal match + ungapped rescore.
+
+Faithful re-implementation of the reference's prefiltering engine
+(lib/mmseqs/src/prefiltering/) in vectorized numpy (host side; the hot
+loops move to device kernels in ops/ as the data scales):
+
+  * spaced 6-mers, pattern {1,1,0,1,0,1,0,0,1,1} (Sequence.h:24), over a
+    20-letter alphabet (X excluded; Prefiltering.cpp:530-533)
+  * targets are tantan-masked (IndexBuilder.cpp:131) and only k-mers with
+    self-score >= kmerThr on the VTML80 8-bit-scaled seed matrix are
+    indexed (IndexTable.h:144-152); postings carry (seqId, windowPos)
+  * per query window: composition bias (float32 chain, VTML80 scale)
+    shifts the k-mer threshold (QueryMatcher.cpp:230-236); similar k-mers
+    enumerated via sorted 3-mer product tables with threshold pruning
+    (KmerGenerator.cpp:104-230)
+  * double-diagonal detection: an arrival-ordered hit is "double" when
+    the previous hit of the same target had the same u8 diagonal —
+    including the zero-init quirk where a first hit on diagonal 0 counts
+    (CacheFriendlyOperations.cpp:193-208)
+  * surviving (target, diagonal) pairs are rescored by an ungapped
+    Kadane scan of the blosum62 2-bit profile (+bias/4) along the
+    diagonal, clamped at 255 (UngappedAlignment.cpp:30-43,385-414)
+  * per-target max score, histogram-capped at --max-seqs with
+    min-ungapped-score 15 floor (QueryMatcher.h:206-216)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+from ..constants import X_INDEX
+from ..db.setdb import SetDB
+from ..native import tantan_mask
+from ..stats.submat import (SubstitutionMatrix, load_pinned_matrix,
+                            load_substitution_matrix, local_aa_bias_correction)
+
+SPACED_PATTERN_6 = np.array([0, 1, 3, 5, 8, 9], dtype=np.int32)
+SPAN_6 = 10
+KMER_SIZE = 6
+SEED_ALPHA = 20          # X excluded from seeding
+PART_POW = SEED_ALPHA ** 3
+
+
+def kmer_score_threshold(sensitivity: float, kmer_size: int = 6) -> int:
+    """Prefiltering::getKmerThreshold sequence tables (Prefiltering.cpp:1050-1065)."""
+    table = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
+    base, per_step = table[kmer_size]
+    return int(np.float32(base) - np.float32(sensitivity) * np.float32(per_step))
+
+
+@dataclass
+class SeedTables:
+    """Sorted 3-mer score tables (ExtendedSubstitutionMatrix equivalent)."""
+    scores: np.ndarray   # (8000, 8000) int16, per row sorted desc
+    idx: np.ndarray      # (8000, 8000) int16, 3-mer indices per sorted row
+
+
+@lru_cache(maxsize=2)
+def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
+    m = load_pinned_matrix(matrix_name)
+    sub = m.sub_int[:SEED_ALPHA, :SEED_ALPHA].astype(np.int32)
+    # scores3[(x0,x1,x2),(y0,y1,y2)] = sub[x0,y0]+sub[x1,y1]+sub[x2,y2]
+    # with index packing idx = x0 + 20*x1 + 400*x2 (Indexer.h:21-35)
+    one = np.ones((SEED_ALPHA, SEED_ALPHA), dtype=np.int32)
+    t0 = np.kron(one, np.kron(one, sub))          # x0,y0 fastest dim
+    t1 = np.kron(one, np.kron(sub, one))
+    t2 = np.kron(sub, np.kron(one, one))
+    scores3 = (t0 + t1 + t2).astype(np.int16)     # (8000, 8000)
+    # tie order: the reference stable-sorts in cartesian-product order,
+    # i.e. lexicographic in (x0,x1,x2) — the digit-REVERSED packing
+    # (ExtendedSubstitutionMatrix.cpp:38-56)
+    j = np.arange(PART_POW)
+    rev = ((j % SEED_ALPHA) * 400 + ((j // SEED_ALPHA) % SEED_ALPHA) * SEED_ALPHA
+           + j // 400)
+    order = np.empty((PART_POW, PART_POW), dtype=np.int16)
+    for r in range(PART_POW):
+        order[r] = np.lexsort((rev, -scores3[r].astype(np.int32))).astype(np.int16)
+    sorted_scores = np.take_along_axis(scores3, order.astype(np.int64), axis=1)
+    return SeedTables(scores=sorted_scores, idx=order)
+
+
+def spaced_kmers(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All spaced 6-mer windows: returns (window_starts, kmer_residues (N,6))."""
+    L = len(seq)
+    n = L - SPAN_6 + 1
+    if n <= 0:
+        return np.empty(0, np.int32), np.empty((0, KMER_SIZE), np.uint8)
+    starts = np.arange(n, dtype=np.int32)
+    cols = starts[:, None] + SPACED_PATTERN_6[None, :]
+    return starts, seq[cols]
+
+
+def pack_kmers(kmers: np.ndarray) -> np.ndarray:
+    """Indexer::int2index packing: idx = sum kmer[i] * 20^i (Indexer.h:21-90)."""
+    powers = SEED_ALPHA ** np.arange(KMER_SIZE, dtype=np.int64)
+    return (kmers.astype(np.int64) * powers[None, :]).sum(axis=1)
+
+
+def mask_sequences(db: SetDB, seed_matrix: SubstitutionMatrix) -> list[np.ndarray]:
+    """tantan-masked copies of all sequences (Masker semantics)."""
+    ratio = seed_matrix.prob / (seed_matrix.p_back[:, None]
+                                * seed_matrix.p_back[None, :])
+    return [tantan_mask(db.sequence(k), ratio, X_INDEX)
+            for k in range(db.size)]
+
+
+class KmerIndex:
+    """Dense sorted k-mer posting index over the (masked) target DB."""
+
+    def __init__(self, target_db: SetDB, kmer_thr: int,
+                 seed_matrix: SubstitutionMatrix | None = None,
+                 mask: bool = True):
+        self.tdb = target_db
+        self.seed = seed_matrix or load_pinned_matrix("vtml80_bf8_bias")
+        self.kmer_thr = kmer_thr
+        self.masked = (mask_sequences(target_db, self.seed) if mask
+                       else [target_db.sequence(k) for k in range(target_db.size)])
+        diag_score = np.diagonal(self.seed.sub_int).astype(np.int32)
+
+        kmer_list = []
+        seq_list = []
+        pos_list = []
+        for sid in range(target_db.size):
+            seq = self.masked[sid]
+            starts, kmers = spaced_kmers(seq)
+            if len(starts) == 0:
+                continue
+            ok = ~(kmers == X_INDEX).any(axis=1)
+            if kmer_thr > 0:
+                self_scores = diag_score[kmers.astype(np.int64)].sum(axis=1)
+                ok &= self_scores >= kmer_thr
+            starts = starts[ok]
+            if len(starts) == 0:
+                continue
+            packed = pack_kmers(kmers[ok])
+            # only the FIRST occurrence of a k-mer per sequence is indexed
+            # (IndexTable::addSequence dedups on kmerIdx != prevKmer after
+            # a (kmer, pos) sort; IndexTable.h:332-345)
+            order = np.lexsort((starts, packed))
+            packed = packed[order]
+            starts = starts[order]
+            first = np.concatenate(([True], packed[1:] != packed[:-1]))
+            kmer_list.append(packed[first])
+            seq_list.append(np.full(int(first.sum()), sid, dtype=np.int32))
+            pos_list.append(starts[first])
+
+        if kmer_list:
+            kmers = np.concatenate(kmer_list)
+            seqs = np.concatenate(seq_list)
+            poss = np.concatenate(pos_list)
+            order = np.lexsort((poss, seqs, kmers))
+            self.kmers = kmers[order]
+            self.seq_ids = seqs[order]
+            self.positions = poss[order]
+        else:
+            self.kmers = np.empty(0, np.int64)
+            self.seq_ids = np.empty(0, np.int32)
+            self.positions = np.empty(0, np.int32)
+
+    def lookup_ranges(self, query_kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lo = np.searchsorted(self.kmers, query_kmers, side="left")
+        hi = np.searchsorted(self.kmers, query_kmers, side="right")
+        return lo, hi
+
+
+@dataclass
+class PrefilterHit:
+    seq_id: int
+    score: int
+    diagonal: int  # u16 semantics (i - j wrapped)
+
+
+class PrefilterEngine:
+    def __init__(self, query_db: SetDB, target_db: SetDB,
+                 sensitivity: float = 5.7,
+                 max_seqs: int = 300,
+                 min_diag_score: int = 15,
+                 same_qt_db: bool | None = None,
+                 comp_bias_correction: bool = True,
+                 mask: bool = True,
+                 cov_thr: float = 0.0,
+                 cov_mode: int = 0):
+        self.qdb = query_db
+        self.tdb = target_db
+        # the prefilter builds matrices with scoreBias=-0.2 (Prefiltering.cpp:992)
+        self.seed = load_pinned_matrix("vtml80_bf8_bias")
+        self.ungapped = load_pinned_matrix("blosum62_bf2_bias")
+        self.kmer_thr = kmer_score_threshold(sensitivity)
+        self.max_seqs = max_seqs
+        self.min_diag_score = min_diag_score
+        self.comp_bias = comp_bias_correction
+        self.cov_thr = cov_thr
+        self.cov_mode = cov_mode
+        self.same_qt_db = (same_qt_db if same_qt_db is not None
+                           else query_db is target_db)
+        self.tables = build_seed_tables()
+        self.index = KmerIndex(target_db, self.kmer_thr, self.seed, mask=mask)
+        # target residue data (masked) padded into one array for rescore
+        self._tseqs = self.index.masked
+        self._tlens = target_db.lengths
+
+    # ------------------------------------------------------------------
+    def _similar_kmers(self, part0: int, part1: int, thr: int) -> np.ndarray:
+        """generateKmerList for one window: all 6-mers with score >= thr.
+
+        Order: part0 entries by score desc (major), part1 by score desc.
+        """
+        t = self.tables
+        s0 = t.scores[part0]
+        s1 = t.scores[part1]
+        best1 = int(s1[0])
+        # part0 candidates: score >= thr - best1  (KmerGenerator.cpp:131-139)
+        n0 = int(np.searchsorted(-s0, -(thr - best1), side="right"))
+        if n0 == 0:
+            return np.empty(0, dtype=np.int64)
+        cut1 = thr - s0[:n0].astype(np.int32)  # per-i cutoff for part1
+        n1 = np.searchsorted(-s1, -cut1, side="right")
+        total = int(n1.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        i0 = np.repeat(t.idx[part0, :n0].astype(np.int64), n1)
+        j_flat = np.concatenate([t.idx[part1, :c].astype(np.int64)
+                                 for c in n1]) if total else np.empty(0, np.int64)
+        return i0 + j_flat * PART_POW
+
+    # ------------------------------------------------------------------
+    def match_query(self, qkey: int) -> list[PrefilterHit]:
+        qseq = self.qdb.sequence(qkey)
+        L = len(qseq)
+        if self.comp_bias:
+            bias_f32 = local_aa_bias_correction(qseq, self.seed.sub_int,
+                                                self.seed.p_back, 1.0)
+        else:
+            bias_f32 = np.zeros(L, dtype=np.float32)
+
+        starts, kmers = spaced_kmers(qseq)
+        hit_seqs: list[np.ndarray] = []
+        hit_diags: list[np.ndarray] = []
+        for w, kmer in zip(starts, kmers):
+            if (kmer == X_INDEX).any():
+                continue
+            # f32 sequential sum over the 6 pattern positions (QueryMatcher.cpp:230-234)
+            b = np.float32(0.0)
+            for p in SPACED_PATTERN_6:
+                b = np.float32(b + bias_f32[w + p])
+            bias = int(np.int16(b - 0.5 if b < 0.0 else b + 0.5))
+            thr = max(self.kmer_thr - bias, 0)
+            part0 = int(kmer[0]) + SEED_ALPHA * int(kmer[1]) + 400 * int(kmer[2])
+            part1 = int(kmer[3]) + SEED_ALPHA * int(kmer[4]) + 400 * int(kmer[5])
+            sim = self._similar_kmers(part0, part1, thr)
+            if len(sim) == 0:
+                continue
+            lo, hi = self.index.lookup_ranges(sim)
+            counts = hi - lo
+            tot = int(counts.sum())
+            if tot == 0:
+                continue
+            # expand posting ranges in order
+            take = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)
+                                   if h > l])
+            hit_seqs.append(self.index.seq_ids[take])
+            hit_diags.append((w - self.index.positions[take]).astype(np.uint16))
+
+        if hit_seqs:
+            seqs = np.concatenate(hit_seqs)
+            diags = np.concatenate(hit_diags)
+        else:
+            seqs = np.empty(0, np.int32)
+            diags = np.empty(0, np.uint16)
+
+        cand_seq, cand_diag = _find_double_diagonals(seqs, diags)
+        scores = self._rescore(qkey, bias_f32, cand_seq, cand_diag)
+
+        # per-target max score (keepMaxScoreElementOnly)
+        hits = _per_target_max(cand_seq, cand_diag, scores)
+
+        # histogram threshold (computeScoreThreshold) with identity slot
+        thr = _score_threshold(hits, self.max_seqs)
+        thr = max(self.min_diag_score, thr)
+
+        out: list[PrefilterHit] = []
+        identity = qkey if self.same_qt_db else None
+        if identity is not None:
+            out.append(PrefilterHit(seq_id=identity, score=65535, diagonal=0))
+        order = np.argsort(-hits[:, 2].astype(np.int64), kind="stable")
+        for i in order:
+            sid, diag, score = int(hits[i, 0]), int(hits[i, 1]), int(hits[i, 2])
+            if len(out) >= self.max_seqs:
+                break
+            if score >= thr and sid != (identity if identity is not None else -1):
+                if score >= 255:
+                    # exact unclamped rescore (getResult, QueryMatcher.cpp:406-413;
+                    # queryBias is 0, UngappedAlignment.h:34-36)
+                    score = self._rescore(qkey, bias_f32,
+                                          np.array([sid]), np.array([diag]),
+                                          clamp=False)[0]
+                out.append(PrefilterHit(seq_id=sid, score=int(score), diagonal=diag))
+
+        # length-based coverage filter applied at output, AFTER the max-seqs
+        # cap (Prefiltering.cpp:856-864)
+        if self.cov_thr > 0.0 and self.cov_mode in (0, 2, 5):
+            qlen = np.float32(L)
+            kept = []
+            for h in out:
+                tlen = np.float32(self._tlens[h.seq_id])
+                if self.cov_mode == 0:
+                    ok = (qlen / tlen >= np.float32(self.cov_thr)
+                          and tlen / qlen >= np.float32(self.cov_thr))
+                elif self.cov_mode == 2:
+                    ok = tlen / qlen >= np.float32(self.cov_thr)
+                else:
+                    ok = (min(tlen, qlen) / max(tlen, qlen)
+                          >= np.float32(self.cov_thr))
+                if ok:
+                    kept.append(h)
+            out = kept
+        return out
+
+    # ------------------------------------------------------------------
+    def _rescore(self, qkey: int, bias_f32: np.ndarray, cand_seq: np.ndarray,
+                 cand_diag: np.ndarray, clamp: bool = True) -> np.ndarray:
+        """Ungapped diagonal Kadane rescore, clamped at 255 (A.1)."""
+        qseq = self.qdb.sequence(qkey)
+        L = len(qseq)
+        # profile: blosum62-2bit + char(bias/4 +/- 0.5) (UngappedAlignment.cpp:392-414)
+        corr = bias_f32.astype(np.float64) / 4.0
+        corr = np.where(corr < 0.0, corr - 0.5, corr + 0.5).astype(np.int8)
+        profile = (self.ungapped.sub_int[qseq].astype(np.int32)
+                   + corr[:, None].astype(np.int32))  # (L, 21)
+
+        scores = np.zeros(len(cand_seq), dtype=np.int32)
+        for n in range(len(cand_seq)):
+            sid = int(cand_seq[n])
+            d = int(cand_diag[n])
+            tseq = self._tseqs[sid]
+            tl = len(tseq)
+            # distanceFromDiagonal (UngappedAlignment.cpp:364-369)
+            d16 = d & 0xFFFF
+            min_dist = min((0 - d16) & 0xFFFF, d16)
+            if d16 < 0x8000:  # diagonal >= 0 as short
+                if min_dist >= L:
+                    continue
+                seg = min(tl, L - min_dist)
+                qs = profile[min_dist:min_dist + seg]
+                ts = tseq[:seg]
+            else:
+                if min_dist >= tl:
+                    continue
+                seg = min(tl - min_dist, L)
+                qs = profile[:seg]
+                ts = tseq[min_dist:min_dist + seg]
+            vals = qs[np.arange(seg), ts.astype(np.int64)]
+            c = np.cumsum(vals)
+            run_min = np.minimum.accumulate(np.concatenate(([0], c[:-1])))
+            best = int(np.max(c - np.minimum(run_min, 0)))
+            scores[n] = min(max(best, 0), 255) if clamp else max(best, 0)
+        return scores
+
+
+def _find_double_diagonals(seqs: np.ndarray, diags: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Arrival-order double-diagonal detection + consecutive dedup
+    (CacheFriendlyOperations::findDuplicates, computeTotalScore=false)."""
+    if len(seqs) == 0:
+        return np.empty(0, np.int32), np.empty(0, np.uint16)
+    diag8 = (diags & 0xFF).astype(np.uint8)
+    order = np.argsort(seqs, kind="stable")  # per-seq arrival order preserved
+    s_sorted = seqs[order]
+    d_sorted = diag8[order]
+    first = np.concatenate(([True], s_sorted[1:] != s_sorted[:-1]))
+    prev = np.concatenate(([0], d_sorted[:-1]))
+    # zero-init quirk: first element of a seq matches prev diag 0
+    detected = np.where(first, d_sorted == 0, d_sorted == prev)
+
+    det_idx = np.nonzero(detected)[0]
+    if len(det_idx) == 0:
+        return np.empty(0, np.int32), np.empty(0, np.uint16)
+    ds = s_sorted[det_idx]
+    dd = d_sorted[det_idx]
+    dfull = diags[order][det_idx]
+    # phase 2: drop consecutive same-diag duplicates per seq
+    first2 = np.concatenate(([True], ds[1:] != ds[:-1]))
+    prev2 = np.concatenate(([0], dd[:-1]))
+    keep = first2 | (dd != prev2)
+    ds = ds[keep]
+    dfull = dfull[keep]
+    # dedupe (seq, diag) keeping the FIRST occurrence in per-seq arrival
+    # order — keepMaxElement later keeps the first max-scored entry
+    # (CacheFriendlyOperations.cpp:358-377)
+    key = ds.astype(np.int64) * (1 << 16) + dfull.astype(np.int64)
+    _, first_idx = np.unique(key, return_index=True)
+    first_idx.sort()
+    return ds[first_idx].astype(np.int32), dfull[first_idx].astype(np.uint16)
+
+
+def _per_target_max(seqs: np.ndarray, diags: np.ndarray, scores: np.ndarray
+                    ) -> np.ndarray:
+    """Keep the max-scoring diagonal per target — FIRST in per-seq arrival
+    order among ties (keepMaxElement). Returns (N,3) [seq, diag, score].
+
+    Input arrays are already grouped by seq in per-seq arrival order
+    (_find_double_diagonals), so a stable sort on (-score) within seq
+    groups keeps the first-arrival tie winner.
+    """
+    if len(seqs) == 0:
+        return np.empty((0, 3), np.int64)
+    order = np.lexsort((np.arange(len(seqs)), -scores, seqs))
+    s = seqs[order]
+    first = np.concatenate(([True], s[1:] != s[:-1]))
+    sel = order[first]
+    return np.stack([seqs[sel].astype(np.int64), diags[sel].astype(np.int64),
+                     scores[sel].astype(np.int64)], axis=1)
+
+
+def _score_threshold(hits: np.ndarray, max_hits: int) -> int:
+    """computeScoreThreshold (QueryMatcher.h:206-216)."""
+    bins = np.bincount(np.clip(hits[:, 2], 0, 255).astype(np.int64),
+                       minlength=256) if len(hits) else np.zeros(256, np.int64)
+    found = 0
+    for thr in range(255, 0, -1):
+        found += int(bins[thr])
+        if found >= max_hits:
+            return thr
+    return 0

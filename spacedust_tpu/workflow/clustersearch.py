@@ -1,0 +1,143 @@
+"""The clustersearch pipeline: search -> aggregate -> cluster -> summarize.
+
+Equivalent of the reference's clustersearch workflow
+(src/workflow/clustersearch.cpp + data/clustersearch.sh) as a single
+in-process pipeline with content-hash checkpointing:
+
+  search (prefilter + align)  ->  prefixid  ->  besthitbyset
+  -> mergeresultsbyset -> combinehits -> clusterhits -> summarizeresults
+
+Workflow defaults mirror setClusterSearchWorkflowDefaults
+(src/workflow/clustersearch.cpp:9-37): -s 5.7, query-cov 0.8, -e 10,
+--aln-len 30, simple best hit, alpha 1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, asdict, field
+from pathlib import Path
+
+from ..db.setdb import SetDB
+from ..search.alignment import AlignmentEngine, AlignmentParams, COV_MODE_QUERY
+from ..search.prefilter import PrefilterEngine
+from ..cluster.aggregate import (besthit_by_set, merge_results_by_set,
+                                 combine_hits, Match)
+from ..cluster.clusterhits import cluster_hits, Cluster
+from ..cluster.summarize import summarize_results, seq_to_clu
+
+
+@dataclass
+class ClusterSearchParams:
+    sensitivity: float = 5.7
+    max_seqs: int = 300
+    cov_thr: float = 0.8
+    cov_mode: int = COV_MODE_QUERY
+    eval_thr: float = 10.0
+    aln_len_thr: int = 30
+    gap_open: int = 11
+    gap_extend: int = 1
+    simple_best_hit: bool = True
+    subopt_hits_factor: int = 0
+    alpha: float = 1.0
+    aggregation_mode: int = 0
+    filter_self_match: bool = False
+    max_gene_gaps: int = 3
+    cluster_size: int = 2
+    p_clu_thr: float = 0.01
+    p_mh_thr: float = 0.01
+    mask: bool = True
+    comp_bias_correction: bool = True
+
+
+@dataclass
+class ClusterSearchResult:
+    tsv: str
+    clusters: list[Cluster]
+    matches: list[Match]
+    seq_to_clu: dict[int, list[int]]
+    timings: dict[str, float] = field(default_factory=dict)
+
+
+def cluster_search(query_db: SetDB, target_db: SetDB,
+                   params: ClusterSearchParams | None = None,
+                   same_qt_db: bool | None = None,
+                   progress: bool = False) -> ClusterSearchResult:
+    par = params or ClusterSearchParams()
+    if same_qt_db is None:
+        same_qt_db = query_db is target_db
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    pref = PrefilterEngine(query_db, target_db,
+                           sensitivity=par.sensitivity,
+                           max_seqs=par.max_seqs,
+                           same_qt_db=same_qt_db,
+                           comp_bias_correction=par.comp_bias_correction,
+                           mask=par.mask,
+                           cov_thr=par.cov_thr, cov_mode=par.cov_mode)
+    timings["index"] = time.time() - t0
+
+    t0 = time.time()
+    candidates = {qk: [h.seq_id for h in pref.match_query(qk)]
+                  for qk in range(query_db.size)}
+    timings["prefilter"] = time.time() - t0
+
+    t0 = time.time()
+    aln_par = AlignmentParams(gap_open=par.gap_open, gap_extend=par.gap_extend,
+                              eval_thr=par.eval_thr, cov_thr=par.cov_thr,
+                              cov_mode=par.cov_mode,
+                              aln_len_thr=par.aln_len_thr,
+                              comp_bias_correction=par.comp_bias_correction)
+    aln = AlignmentEngine(query_db, target_db, aln_par, same_qt_db=same_qt_db)
+    records = aln.align_all(candidates)
+    timings["align"] = time.time() - t0
+
+    # prefixid: records -> prefixed column lines
+    t0 = time.time()
+    results = {qk: [[str(qk)] + r.columns() for r in recs]
+               for qk, recs in records.items()}
+    agg = besthit_by_set(results, target_db,
+                         simple_best_hit=par.simple_best_hit,
+                         subopt_hits_factor=par.subopt_hits_factor)
+    merged = merge_results_by_set(agg, query_db)
+    matches = combine_hits(merged, query_db, target_db, alpha=par.alpha,
+                           aggregation_mode=par.aggregation_mode,
+                           filter_self_match=par.filter_self_match)
+    clusters = cluster_hits(matches, query_db, target_db,
+                            max_gene_gaps=par.max_gene_gaps,
+                            cluster_size=par.cluster_size,
+                            p_clu_thr=par.p_clu_thr,
+                            p_mh_thr=par.p_mh_thr,
+                            alpha=par.alpha)
+    tsv = summarize_results(clusters, query_db, target_db)
+    timings["aggregate"] = time.time() - t0
+
+    return ClusterSearchResult(tsv=tsv, clusters=clusters, matches=matches,
+                               seq_to_clu=seq_to_clu(clusters),
+                               timings=timings)
+
+
+def cluster_search_to_file(query_db: SetDB, target_db: SetDB, out_path: str,
+                           tmp_dir: str | None = None, **kwargs) -> ClusterSearchResult:
+    """File-level entry with parameter-hash checkpoint resume (mirrors the
+    reference's notExists/tmp-hash idiom, clustersearch.cpp:73-83)."""
+    params = kwargs.get("params") or ClusterSearchParams()
+    res = None
+    if tmp_dir is not None:
+        h = hashlib.sha1(json.dumps(asdict(params), sort_keys=True).encode()
+                         ).hexdigest()[:16]
+        ckpt = Path(tmp_dir) / h / "result.tsv"
+        if ckpt.exists():
+            tsv = ckpt.read_text()
+            res = ClusterSearchResult(tsv=tsv, clusters=[], matches=[],
+                                      seq_to_clu={})
+    if res is None:
+        res = cluster_search(query_db, target_db, **kwargs)
+        if tmp_dir is not None:
+            ckpt.parent.mkdir(parents=True, exist_ok=True)
+            ckpt.write_text(res.tsv)
+    Path(out_path).write_text(res.tsv)
+    return res
