@@ -8,10 +8,20 @@ Run as `python -m spacedust_tpu <command> ...`.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 from .db.setdb import SetDB
+
+
+def _configure_platform() -> None:
+    """Honor SPACEDUST_JAX_PLATFORM (e.g. cpu/tpu). The axon TPU plugin
+    overrides JAX_PLATFORMS at import, so set the config explicitly."""
+    plat = os.environ.get("SPACEDUST_JAX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
 
 
 def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
@@ -97,6 +107,7 @@ COMMANDS = {
 
 
 def main(argv: list[str] | None = None) -> int:
+    _configure_platform()
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print("spacedust_tpu — TPU-native gene-cluster discovery\n"

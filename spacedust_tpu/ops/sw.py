@@ -115,14 +115,23 @@ def make_profiles(qseqs: np.ndarray, qlens: np.ndarray, sub_int: np.ndarray,
     return prof
 
 
+def _pick_tile(lt: int) -> int:
+    for t in (128, 64, 32, 16, 8, 4, 2, 1):
+        if lt % t == 0:
+            return t
+    return 1
+
+
 def sw_forward(qseqs, qlens, tseqs, tlens, sub_int, bias,
                gap_open=11, gap_extend=1):
     """Forward pass: returns (score, q_end, t_end) int32 arrays (B,)."""
+    from .sw_tiled import sw_scan_tiled
     prof = make_profiles(qseqs, qlens, sub_int, bias)
-    score, t_end, q_end = _sw_scan(
+    score, t_end, q_end = sw_scan_tiled(
         jnp.asarray(prof), jnp.asarray(tseqs.astype(np.int32)),
         jnp.asarray(qlens.astype(np.int32)), jnp.asarray(tlens.astype(np.int32)),
-        gap_open, gap_extend, jnp.zeros(len(qlens), jnp.int32), False)
+        gap_open, gap_extend, jnp.zeros(len(qlens), jnp.int32),
+        t_tile=_pick_tile(tseqs.shape[1]))
     return np.asarray(score), np.asarray(q_end), np.asarray(t_end)
 
 
@@ -130,9 +139,11 @@ def sw_reverse(qseqs_rev, qlens, tseqs_rev, tlens, sub_int, bias_rev,
                terminate, gap_open=11, gap_extend=1):
     """Reverse pass on reversed prefixes; `terminate[b]` = forward score.
     Returns (score, j_break, i_break, found): j/i in reversed coordinates."""
+    from .sw_tiled import sw_scan_tiled
     prof = make_profiles(qseqs_rev, qlens, sub_int, bias_rev)
-    score, fj, fi, found = _sw_scan(
+    score, fj, fi, found = sw_scan_tiled(
         jnp.asarray(prof), jnp.asarray(tseqs_rev.astype(np.int32)),
         jnp.asarray(qlens.astype(np.int32)), jnp.asarray(tlens.astype(np.int32)),
-        gap_open, gap_extend, jnp.asarray(terminate.astype(np.int32)), True)
+        gap_open, gap_extend, jnp.asarray(terminate.astype(np.int32)),
+        t_tile=_pick_tile(tseqs_rev.shape[1]), with_terminate=True)
     return np.asarray(score), np.asarray(fj), np.asarray(fi), np.asarray(found)
