@@ -51,11 +51,21 @@ def kmer_score_threshold(sensitivity: float, kmer_size: int = 6) -> int:
     return int(np.float32(base) - np.float32(sensitivity) * np.float32(per_step))
 
 
+_ROW_BIG = np.int64(1) << 20
+
+
 @dataclass
 class SeedTables:
     """Sorted 3-mer score tables (ExtendedSubstitutionMatrix equivalent)."""
     scores: np.ndarray   # (8000, 8000) int16, per row sorted desc
     idx: np.ndarray      # (8000, 8000) int16, 3-mer indices per sorted row
+    neg_flat: np.ndarray = None  # (-scores + row*2^20).ravel(), for row-wise searchsorted
+
+    def count_ge(self, rows: np.ndarray, cutoffs: np.ndarray) -> np.ndarray:
+        """Per (row, cutoff) pair: how many entries of scores[row] are >= cutoff."""
+        keys = rows.astype(np.int64) * _ROW_BIG + (-cutoffs.astype(np.int64))
+        pos = np.searchsorted(self.neg_flat, keys, side="right")
+        return (pos - rows.astype(np.int64) * PART_POW).astype(np.int64)
 
 
 @lru_cache(maxsize=2)
@@ -79,7 +89,9 @@ def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
     for r in range(PART_POW):
         order[r] = np.lexsort((rev, -scores3[r].astype(np.int32))).astype(np.int16)
     sorted_scores = np.take_along_axis(scores3, order.astype(np.int64), axis=1)
-    return SeedTables(scores=sorted_scores, idx=order)
+    neg_flat = (-sorted_scores.astype(np.int64)
+                + np.arange(PART_POW, dtype=np.int64)[:, None] * _ROW_BIG).ravel()
+    return SeedTables(scores=sorted_scores, idx=order, neg_flat=neg_flat)
 
 
 def spaced_kmers(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -160,9 +172,21 @@ class KmerIndex:
             self.seq_ids = np.empty(0, np.int32)
             self.positions = np.empty(0, np.int32)
 
+        # dense k-mer -> posting-range offsets (IndexTable layout):
+        # O(1) lookups instead of binary search over the posting array
+        counts = np.bincount(self.kmers, minlength=SEED_ALPHA ** KMER_SIZE)
+        self.offsets = np.concatenate(
+            ([0], np.cumsum(counts, dtype=np.int64)))
+
+        # concatenated masked target residues for vectorized rescore
+        lens = np.array([len(s) for s in self.masked], dtype=np.int64)
+        self.t_offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        self.t_data = (np.concatenate(self.masked) if self.masked
+                       else np.empty(0, np.uint8))
+
     def lookup_ranges(self, query_kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        lo = np.searchsorted(self.kmers, query_kmers, side="left")
-        hi = np.searchsorted(self.kmers, query_kmers, side="right")
+        lo = self.offsets[query_kmers]
+        hi = self.offsets[query_kmers + 1]
         return lo, hi
 
 
@@ -227,6 +251,65 @@ class PrefilterEngine:
         return i0 + j_flat * PART_POW
 
     # ------------------------------------------------------------------
+    def _raw_hits(self, qkey: int, bias_f32: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """All posting hits (seq, diag-u16) in exact arrival order:
+        windows ascending, similar k-mers in generation order, postings in
+        index order — fully vectorized."""
+        qseq = self.qdb.sequence(qkey)
+        starts, kmers = spaced_kmers(qseq)
+        valid = ~(kmers == X_INDEX).any(axis=1)
+        starts = starts[valid]
+        kmers = kmers[valid]
+        W = len(starts)
+        empty = (np.empty(0, np.int32), np.empty(0, np.uint16))
+        if W == 0:
+            return empty
+
+        # f32 sequential bias sum over the 6 pattern positions, then the
+        # C double +/-0.5 truncation (QueryMatcher.cpp:230-236)
+        b = np.zeros(W, dtype=np.float32)
+        for p in SPACED_PATTERN_6:
+            b = (b + bias_f32[starts + p]).astype(np.float32)
+        bd = b.astype(np.float64)
+        biasv = np.where(bd < 0.0, bd - 0.5, bd + 0.5).astype(np.int16)
+        thr = np.maximum(self.kmer_thr - biasv.astype(np.int64), 0)
+
+        k64 = kmers.astype(np.int64)
+        part0 = k64[:, 0] + SEED_ALPHA * k64[:, 1] + 400 * k64[:, 2]
+        part1 = k64[:, 3] + SEED_ALPHA * k64[:, 4] + 400 * k64[:, 5]
+
+        t = self.tables
+        best1 = t.scores[part1, 0].astype(np.int64)
+        n0 = t.count_ge(part0, thr - best1)
+        if n0.sum() == 0:
+            return empty
+        w_rep = np.repeat(np.arange(W), n0)
+        i_idx = _ragged_arange(n0)
+        s0_vals = t.scores[part0[w_rep], i_idx].astype(np.int64)
+        cut2 = thr[w_rep] - s0_vals
+        n1 = t.count_ge(part1[w_rep], cut2)
+        if n1.sum() == 0:
+            return empty
+        p_rep = np.repeat(np.arange(len(w_rep)), n1)
+        j_idx = _ragged_arange(n1)
+        idx0 = t.idx[part0[w_rep], i_idx].astype(np.int64)
+        w_all = w_rep[p_rep]
+        kmers_all = (idx0[p_rep]
+                     + t.idx[part1[w_all], j_idx].astype(np.int64) * PART_POW)
+
+        lo, hi = self.index.lookup_ranges(kmers_all)
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return empty
+        k_rep = np.repeat(np.arange(len(kmers_all)), cnt)
+        off = _ragged_arange(cnt)
+        take = lo[k_rep] + off
+        seqs = self.index.seq_ids[take]
+        diags = ((starts[w_all[k_rep]] - self.index.positions[take])
+                 & 0xFFFF).astype(np.uint16)
+        return seqs, diags
+
     def match_query(self, qkey: int) -> list[PrefilterHit]:
         qseq = self.qdb.sequence(qkey)
         L = len(qseq)
@@ -236,41 +319,7 @@ class PrefilterEngine:
         else:
             bias_f32 = np.zeros(L, dtype=np.float32)
 
-        starts, kmers = spaced_kmers(qseq)
-        hit_seqs: list[np.ndarray] = []
-        hit_diags: list[np.ndarray] = []
-        for w, kmer in zip(starts, kmers):
-            if (kmer == X_INDEX).any():
-                continue
-            # f32 sequential sum over the 6 pattern positions (QueryMatcher.cpp:230-234)
-            b = np.float32(0.0)
-            for p in SPACED_PATTERN_6:
-                b = np.float32(b + bias_f32[w + p])
-            bias = int(np.int16(b - 0.5 if b < 0.0 else b + 0.5))
-            thr = max(self.kmer_thr - bias, 0)
-            part0 = int(kmer[0]) + SEED_ALPHA * int(kmer[1]) + 400 * int(kmer[2])
-            part1 = int(kmer[3]) + SEED_ALPHA * int(kmer[4]) + 400 * int(kmer[5])
-            sim = self._similar_kmers(part0, part1, thr)
-            if len(sim) == 0:
-                continue
-            lo, hi = self.index.lookup_ranges(sim)
-            counts = hi - lo
-            tot = int(counts.sum())
-            if tot == 0:
-                continue
-            # expand posting ranges in order
-            take = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)
-                                   if h > l])
-            hit_seqs.append(self.index.seq_ids[take])
-            hit_diags.append((w - self.index.positions[take]).astype(np.uint16))
-
-        if hit_seqs:
-            seqs = np.concatenate(hit_seqs)
-            diags = np.concatenate(hit_diags)
-        else:
-            seqs = np.empty(0, np.int32)
-            diags = np.empty(0, np.uint16)
-
+        seqs, diags = self._raw_hits(qkey, bias_f32)
         cand_seq, cand_diag = _find_double_diagonals(seqs, diags)
         scores = self._rescore(qkey, bias_f32, cand_seq, cand_diag)
 
@@ -331,33 +380,53 @@ class PrefilterEngine:
         profile = (self.ungapped.sub_int[qseq].astype(np.int32)
                    + corr[:, None].astype(np.int32))  # (L, 21)
 
-        scores = np.zeros(len(cand_seq), dtype=np.int32)
-        for n in range(len(cand_seq)):
-            sid = int(cand_seq[n])
-            d = int(cand_diag[n])
-            tseq = self._tseqs[sid]
-            tl = len(tseq)
-            # distanceFromDiagonal (UngappedAlignment.cpp:364-369)
-            d16 = d & 0xFFFF
-            min_dist = min((0 - d16) & 0xFFFF, d16)
-            if d16 < 0x8000:  # diagonal >= 0 as short
-                if min_dist >= L:
-                    continue
-                seg = min(tl, L - min_dist)
-                qs = profile[min_dist:min_dist + seg]
-                ts = tseq[:seg]
-            else:
-                if min_dist >= tl:
-                    continue
-                seg = min(tl - min_dist, L)
-                qs = profile[:seg]
-                ts = tseq[min_dist:min_dist + seg]
-            vals = qs[np.arange(seg), ts.astype(np.int64)]
-            c = np.cumsum(vals)
-            run_min = np.minimum.accumulate(np.concatenate(([0], c[:-1])))
-            best = int(np.max(c - np.minimum(run_min, 0)))
-            scores[n] = min(max(best, 0), 255) if clamp else max(best, 0)
-        return scores
+        C = len(cand_seq)
+        scores = np.zeros(C, dtype=np.int32)
+        if C == 0:
+            return scores
+        d16 = cand_diag.astype(np.int64) & 0xFFFF
+        min_dist = np.minimum((0 - d16) & 0xFFFF, d16)
+        tl = self._tlens[cand_seq].astype(np.int64)
+        pos_diag = d16 < 0x8000  # diagonal >= 0 as short
+        # segment geometry (UngappedAlignment.cpp:364-369,415-430)
+        seg = np.where(pos_diag,
+                       np.where(min_dist < L, np.minimum(tl, L - min_dist), 0),
+                       np.where(min_dist < tl, np.minimum(tl - min_dist, L), 0))
+        q_off = np.where(pos_diag, min_dist, 0)
+        t_off = np.where(pos_diag, 0, min_dist)
+
+        Lmax = int(seg.max())
+        if Lmax == 0:
+            return scores
+        ar = np.arange(Lmax, dtype=np.int64)
+        mask = ar[None, :] < seg[:, None]
+        qpos = np.minimum(q_off[:, None] + ar[None, :], L - 1)
+        tpos = self.index.t_offsets[cand_seq][:, None] + np.minimum(
+            t_off[:, None] + ar[None, :],
+            np.maximum(tl[:, None] - 1, 0))
+        t_res = self.index.t_data[tpos]
+        vals = profile[qpos, t_res.astype(np.int64)] * mask
+        c = np.cumsum(vals, axis=1)
+        run_min = np.minimum.accumulate(
+            np.concatenate([np.zeros((C, 1), c.dtype), c[:, :-1]], axis=1),
+            axis=1)
+        best = (c - np.minimum(run_min, 0)).max(axis=1)
+        best = np.where(seg > 0, np.maximum(best, 0), 0)
+        if clamp:
+            best = np.minimum(best, 255)
+        return best.astype(np.int32)
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
 
 
 def _find_double_diagonals(seqs: np.ndarray, diags: np.ndarray
