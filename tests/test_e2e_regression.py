@@ -1,0 +1,55 @@
+"""The reference's end-to-end regression (util/run_regression.sh):
+clustersearch on E. coli + H. pylori must reproduce sample_result.tsv.
+
+The full run takes ~25 CPU-minutes, so by default this test verifies the
+cached CLI output in .tmp/e2e/result.tsv (produced by
+`python -m spacedust_tpu clustersearch ...`); set SPACEDUST_RUN_E2E=1 to
+recompute from scratch.
+"""
+
+import os
+from pathlib import Path
+
+import pytest
+
+GOLDEN = "/root/reference/examples/sample_result.tsv"
+CACHED = "/root/repo/.tmp/e2e/result.tsv"
+
+
+def canonical(text: str):
+    blocks, cur = [], None
+    for ln in text.splitlines():
+        if ln.startswith("#"):
+            if cur:
+                blocks.append((cur[0], tuple(sorted(cur[1]))))
+            cur = ("\t".join(ln.split("\t")[1:]), [])
+        else:
+            cur[1].append(ln)
+    if cur:
+        blocks.append((cur[0], tuple(sorted(cur[1]))))
+    return sorted(blocks)
+
+
+def _compute_tsv(examples_dir) -> str:
+    from spacedust_tpu.db.fasta import create_setdb_from_fastas
+    from spacedust_tpu.workflow.clustersearch import (ClusterSearchParams,
+                                                      cluster_search)
+    db = create_setdb_from_fastas([
+        f"{examples_dir}/NC_000913.faa", f"{examples_dir}/NC_000915.faa"])
+    res = cluster_search(db, db, ClusterSearchParams(filter_self_match=True))
+    return res.tsv
+
+
+def test_e2e_regression(examples_dir):
+    if os.environ.get("SPACEDUST_RUN_E2E") == "1":
+        tsv = _compute_tsv(examples_dir)
+    elif Path(CACHED).exists():
+        tsv = Path(CACHED).read_text()
+    else:
+        pytest.skip("no cached e2e result; set SPACEDUST_RUN_E2E=1")
+
+    golden = Path(GOLDEN).read_text()
+    assert canonical(tsv) == canonical(golden)
+    assert sum(1 for ln in tsv.splitlines() if ln.startswith(">")) == 308
+    assert sum(1 for ln in tsv.splitlines()
+               if ln.startswith("#") and float(ln.split("\t")[3]) < 1e-20) == 2
