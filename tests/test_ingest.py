@@ -51,6 +51,30 @@ def test_translate_standard():
     assert translate(b"NNN") == "X"
 
 
+def test_gff_matches_oracle_sequences(examples_dir):
+    """Translated CDS sequences match the reference's createsetdb output
+    on the uvig examples (as residue multisets; the reference's nucl-path
+    key order is thread-interleaved)."""
+    import glob
+    import os
+    import pytest
+    from collections import Counter
+    from spacedust_tpu.db.mmseqs_io import FlatDB
+    from spacedust_tpu.constants import encode_aa, decode_aa
+
+    oracle_base = "/root/repo/.tmp/oracle/uvig/genome"
+    if not os.path.exists(oracle_base + ".index"):
+        pytest.skip("oracle uvig DB not generated")
+    db = create_setdb_from_gff(
+        [f"{examples_dir}/uvig_120081.gff", f"{examples_dir}/uvig_255655.gff"],
+        [f"{examples_dir}/uvig_120081.fna", f"{examples_dir}/uvig_255655.fna"])
+    oracle = FlatDB.open(oracle_base)
+    ours = Counter(decode_aa(db.sequence(k)) for k in range(db.size))
+    theirs = Counter(decode_aa(encode_aa(d.strip())) for _, d in oracle.entries())
+    assert ours == theirs
+    assert db.size == oracle.size == 153
+
+
 def test_gff_ingestion(examples_dir):
     db = create_setdb_from_gff(
         [f"{examples_dir}/uvig_120081.gff", f"{examples_dir}/uvig_255655.gff"],
