@@ -53,6 +53,13 @@ class FlatDB:
         o, l = self._by_key[key]
         return self._data[o:o + l].rstrip(b"\x00").decode()
 
+    def get_bytes(self, key: int) -> bytes:
+        """Raw entry bytes (for binary payloads like profiles), without
+        the trailing NUL terminator."""
+        o, l = self._by_key[key]
+        data = self._data[o:o + l]
+        return data[:-1] if data.endswith(b"\x00") else data
+
     def entries(self):
         for k, o, l in self.index:
             yield k, self._data[o:o + l].rstrip(b"\x00").decode()

@@ -1,0 +1,77 @@
+"""PSSM/profile construction tests vs the reference's result2profile
+output (oracle run with --filter-msa 0)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from spacedust_tpu.constants import encode_aa
+from spacedust_tpu.db.fasta import create_setdb_from_fastas
+from spacedust_tpu.db.mmseqs_io import FlatDB
+from spacedust_tpu.search.records import AlnRecord, expand_cigar
+from spacedust_tpu.search.profile import (compute_pssm, compute_msa, flog2,
+                                          fpow2, GAP)
+from spacedust_tpu.stats.submat import load_pinned_matrix
+
+ORACLE = "/root/repo/.tmp/oracle"
+
+
+def test_fast_log_pow_roundtrip():
+    x = np.array([0.5, 1.0, 2.0, 3.7, 100.0], dtype=np.float32)
+    assert np.allclose(flog2(x), np.log2(x), atol=2e-4)
+    y = np.array([-3.0, -0.5, 0.0, 0.5, 3.0], dtype=np.float32)
+    assert np.allclose(fpow2(y), 2.0 ** y.astype(np.float64), rtol=1e-4)
+
+
+def test_msa_construction():
+    q = encode_aa("MKVLGDEWRK")
+    t = encode_aa("KVLGDEW")
+    rec = AlnRecord(tkey=1, score=0, seq_id=1, evalue=0, qstart=1, qend=7,
+                    qlen=10, tstart=0, tend=6, tlen=7, backtrace="M" * 7)
+    msa = compute_msa(q, [t], [rec])
+    assert msa.shape == (2, 10)
+    assert msa[1, 0] == GAP and msa[1, 8] == GAP
+    assert (msa[1, 1:8] == t).all()
+
+
+@pytest.mark.skipif(not os.path.exists(f"{ORACLE}/profiles.index"),
+                    reason="oracle profiles not generated")
+def test_pssm_parity_subset(examples_dir):
+    """Profiles match the reference byte-for-byte on most queries; the
+    documented SIMD-reciprocal deviation allows rare off-by-one scores."""
+    db = create_setdb_from_fastas([
+        f"{examples_dir}/NC_000913.faa", f"{examples_dir}/NC_000915.faa"])
+    tmpd = [d for d in glob.glob(f"{ORACLE}/tmp/*/")
+            if os.path.exists(d + "result.index")][0]
+    res = FlatDB.open(tmpd + "result")
+    prof_db = FlatDB.open(f"{ORACLE}/profiles")
+    matrix = load_pinned_matrix("blosum62_bf2_bias")
+    exact = total_bytes = diff_bytes = 0
+    N = 60
+    for qk in range(N):
+        recs, targets = [], []
+        for ln in res.lines(qk):
+            r = AlnRecord.parse(ln)
+            if r.tkey == qk:
+                continue
+            if r.evalue < 0.001:
+                r.backtrace = expand_cigar(r.backtrace)
+                recs.append(r)
+                targets.append(db.sequence(r.tkey))
+        prof = compute_pssm(db.sequence(qk), targets, recs, matrix)
+        mine = np.frombuffer(prof.to_buffer(), dtype=np.uint8)
+        want = np.frombuffer(prof_db.get_bytes(qk), dtype=np.uint8)
+        assert mine.size == want.size
+        d = int((mine != want).sum())
+        exact += d == 0
+        total_bytes += mine.size
+        diff_bytes += d
+        if d:
+            # deviations must be off-by-one int8 scores only
+            m = mine[mine != want].view(np.int8).astype(np.int32)
+            w = want[mine != want].view(np.int8).astype(np.int32)
+            assert np.abs(m - w).max() <= 1
+    assert exact >= int(N * 0.95)
+    assert diff_bytes / total_bytes < 1e-4
