@@ -17,7 +17,7 @@ _DIR = Path(__file__).resolve().parent
 _LIB = None
 
 
-_SOURCES = ["banded_sw.cpp", "tantan.cpp"]
+_SOURCES = ["banded_sw.cpp", "tantan.cpp", "simd_helpers.cpp"]
 
 
 def _build() -> Path:
@@ -49,6 +49,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # band_width
             ctypes.c_char_p, ctypes.c_int,    # out, cap
         ]
+        lib.w_contrib_rcp.restype = None
+        lib.w_contrib_rcp.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
         lib.tantan_mask.restype = ctypes.c_int
         lib.tantan_mask.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),   # seq (in/out)
@@ -108,3 +112,18 @@ def tantan_mask(seq: np.ndarray, ratio: np.ndarray, mask_to: int,
         probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if return_probs
         else ctypes.POINTER(ctypes.c_float)())
     return (out, probs) if return_probs else out
+
+
+def w_contrib_rcp(n: np.ndarray, naa: np.ndarray) -> np.ndarray:
+    """Hardware-exact approximate-reciprocal weight contributions
+    (PSSMCalculator.cpp:505-517). n: (ncol, 24) int32, naa: (ncol,) int32."""
+    lib = get_lib()
+    n = np.ascontiguousarray(n, dtype=np.int32)
+    naa = np.ascontiguousarray(naa, dtype=np.int32)
+    out = np.empty((n.shape[0], 24), dtype=np.float32)
+    lib.w_contrib_rcp(
+        n.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        naa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

@@ -221,21 +221,19 @@ def compute_context_weights(msa: np.ndarray, wg: np.ndarray
             if ncol < NCOLMIN:
                 wi = np.where(X[:, i] < ANY, wg, np.float32(0.0)).astype(np.float32)
             else:
+                from ..native import w_contrib_rcp
                 sub = n[jmin:jmax + 1, :ANY]
-                naa = (sub > 0).sum(axis=1).astype(np.float32)
-                with np.errstate(divide="ignore"):
-                    w_contrib = np.where(
-                        sub > 0,
-                        (np.float32(1.0)
-                         / (sub.astype(np.float32) * naa[:, None])),
-                        np.float32(0.0)).astype(np.float32)
-                # pad for ANY..ENDGAP codes -> zero contribution
-                w_pad = np.zeros((ncol, 24), dtype=np.float32)
-                w_pad[:, :ANY] = w_contrib
+                naa = (sub > 0).sum(axis=1).astype(np.int32)
+                # hardware rcp+NR, exactly as the reference's SIMD path
+                w_pad = w_contrib_rcp(n[jmin:jmax + 1].astype(np.int32), naa)
                 members = np.nonzero(in_sub)[0]
                 seg = X[members, jmin:jmax + 1].astype(np.int64)
-                wi_m = w_pad[np.arange(ncol)[None, :], seg].sum(
-                    axis=1, dtype=np.float32) + np.float32(1e-8)
+                contrib = w_pad[np.arange(ncol)[None, :], seg]  # (M, ncol)
+                # sequential f32 accumulation over columns (the reference's
+                # innermost j loop, PSSMCalculator.cpp:522-528)
+                wi_m = np.full(len(members), 1e-8, dtype=np.float32)
+                for jcol in range(ncol):
+                    wi_m = (wi_m + contrib[:, jcol]).astype(np.float32)
                 wi = np.full(set_size, 1e-8, dtype=np.float32)
                 wi[members] = wi_m
 
