@@ -49,6 +49,17 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # band_width
             ctypes.c_char_p, ctypes.c_int,    # out, cap
         ]
+        lib.banded_align_profile.restype = ctypes.c_int
+        lib.banded_align_profile.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # t
+            ctypes.c_int, ctypes.c_int,       # q_len, t_len
+            ctypes.POINTER(ctypes.c_int8),    # prof [aa][qpos]
+            ctypes.c_int, ctypes.c_int,       # prof_qlen, query_start
+            ctypes.c_int,                     # score
+            ctypes.c_int, ctypes.c_int,       # gap_open, gap_extend
+            ctypes.c_int,                     # band_width
+            ctypes.c_char_p, ctypes.c_int,    # out, cap
+        ]
         lib.w_contrib_rcp.restype = None
         lib.w_contrib_rcp.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -90,6 +101,29 @@ def banded_align(q: np.ndarray, t: np.ndarray, bias: np.ndarray,
         buf, cap)
     if n < 0:
         raise RuntimeError(f"banded_align failed: {n}")
+    return buf.raw[:n].decode("ascii")
+
+
+def banded_align_profile(t: np.ndarray, q_len: int, prof_aa_qpos: np.ndarray,
+                         query_start: int, score: int,
+                         gap_open: int = 11, gap_extend: int = 1) -> str:
+    """Profile-query CIGAR: prof_aa_qpos is the (alpha, full_query_len)
+    int8 alignment profile; the rectangle is [query_start, query_start+q_len)
+    x [0, len(t))."""
+    lib = get_lib()
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    prof = np.ascontiguousarray(prof_aa_qpos, dtype=np.int8)
+    band_width = abs(len(t) - q_len) + 1
+    cap = q_len + len(t) + 8
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.banded_align_profile(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q_len, len(t),
+        prof.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        prof.shape[1], query_start, int(score), gap_open, gap_extend,
+        band_width, buf, cap)
+    if n < 0:
+        raise RuntimeError(f"banded_align_profile failed: {n}")
     return buf.raw[:n].decode("ascii")
 
 

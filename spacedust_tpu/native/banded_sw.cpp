@@ -42,10 +42,19 @@ extern "C" {
 // Returns length of ops written (M/I/D chars into out_ops, max out_cap),
 // or -1 on failure (score not reached even at max band), -2 if out_cap
 // too small.
-int banded_align(const uint8_t* q, const uint8_t* t, const int8_t* bias,
-                 int q_len, int t_len, const int8_t* mat, int alpha_size,
-                 int score, int gap_open, int gap_extend, int band_width,
-                 char* out_ops, int out_cap) {
+//
+// Two scoring modes (mirroring banded_sw's SUBSTITUTIONMATRIX and
+// PROFILE_SEQ types):
+//   * mat != NULL: cell score = mat[q[i]*alpha + t[j]] + bias[i]
+//   * prof != NULL: cell score = prof[t[j]*prof_qlen + (query_start+i)]
+//     (per-position profile, layout [aa][query_pos])
+static int banded_align_impl(const uint8_t* q, const uint8_t* t,
+                             const int8_t* bias, int q_len, int t_len,
+                             const int8_t* mat, int alpha_size,
+                             const int8_t* prof, int prof_qlen,
+                             int query_start, int score, int gap_open,
+                             int gap_extend, int band_width, char* out_ops,
+                             int out_cap) {
     std::vector<int32_t> h_b, e_b, h_c;
     std::vector<int8_t> direction;
     long width = 0, width_d = 0;
@@ -94,8 +103,14 @@ int banded_align(const uint8_t* q, const uint8_t* t, const int8_t* bias,
                 int f1 = f > 0 ? f : 0;
                 int e1 = e_b[u] > 0 ? e_b[u] : 0;
                 temp1 = e1 > f1 ? e1 : f1;
-                temp2 = h_b[d] + mat[(int)q[i] * alpha_size + (int)t[j]] +
-                        (bias ? bias[i] : 0);
+                int cell;
+                if (prof != NULL) {
+                    cell = prof[(int)t[j] * prof_qlen + (query_start + i)];
+                } else {
+                    cell = mat[(int)q[i] * alpha_size + (int)t[j]] +
+                           (bias ? bias[i] : 0);
+                }
+                temp2 = h_b[d] + cell;
 
                 h_c[u] = temp1 > temp2 ? temp1 : temp2;
                 if (h_c[u] > max_h) max_h = h_c[u];
@@ -138,6 +153,24 @@ int banded_align(const uint8_t* q, const uint8_t* t, const int8_t* bias,
         out_ops[k] = ops[ops.size() - 1 - k];
     }
     return (int)ops.size();
+}
+
+int banded_align(const uint8_t* q, const uint8_t* t, const int8_t* bias,
+                 int q_len, int t_len, const int8_t* mat, int alpha_size,
+                 int score, int gap_open, int gap_extend, int band_width,
+                 char* out_ops, int out_cap) {
+    return banded_align_impl(q, t, bias, q_len, t_len, mat, alpha_size,
+                             NULL, 0, 0, score, gap_open, gap_extend,
+                             band_width, out_ops, out_cap);
+}
+
+int banded_align_profile(const uint8_t* t, int q_len, int t_len,
+                         const int8_t* prof, int prof_qlen, int query_start,
+                         int score, int gap_open, int gap_extend,
+                         int band_width, char* out_ops, int out_cap) {
+    return banded_align_impl(NULL, t, NULL, q_len, t_len, NULL, 0, prof,
+                             prof_qlen, query_start, score, gap_open,
+                             gap_extend, band_width, out_ops, out_cap);
 }
 
 }  // extern "C"

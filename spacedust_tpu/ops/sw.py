@@ -122,11 +122,10 @@ def _pick_tile(lt: int) -> int:
     return 1
 
 
-def sw_forward(qseqs, qlens, tseqs, tlens, sub_int, bias,
-               gap_open=11, gap_extend=1):
-    """Forward pass: returns (score, q_end, t_end) int32 arrays (B,)."""
+def sw_forward_from_profiles(prof, tseqs, tlens, qlens,
+                             gap_open=11, gap_extend=1):
+    """Forward pass from prebuilt (B, A, Lq) int32 profiles."""
     from .sw_tiled import sw_scan_tiled
-    prof = make_profiles(qseqs, qlens, sub_int, bias)
     score, t_end, q_end = sw_scan_tiled(
         jnp.asarray(prof), jnp.asarray(tseqs.astype(np.int32)),
         jnp.asarray(qlens.astype(np.int32)), jnp.asarray(tlens.astype(np.int32)),
@@ -135,15 +134,30 @@ def sw_forward(qseqs, qlens, tseqs, tlens, sub_int, bias,
     return np.asarray(score), np.asarray(q_end), np.asarray(t_end)
 
 
-def sw_reverse(qseqs_rev, qlens, tseqs_rev, tlens, sub_int, bias_rev,
-               terminate, gap_open=11, gap_extend=1):
-    """Reverse pass on reversed prefixes; `terminate[b]` = forward score.
-    Returns (score, j_break, i_break, found): j/i in reversed coordinates."""
+def sw_reverse_from_profiles(prof_rev, tseqs_rev, tlens, qlens, terminate,
+                             gap_open=11, gap_extend=1):
+    """Reverse pass from prebuilt reversed profiles + terminate scores."""
     from .sw_tiled import sw_scan_tiled
-    prof = make_profiles(qseqs_rev, qlens, sub_int, bias_rev)
     score, fj, fi, found = sw_scan_tiled(
-        jnp.asarray(prof), jnp.asarray(tseqs_rev.astype(np.int32)),
+        jnp.asarray(prof_rev), jnp.asarray(tseqs_rev.astype(np.int32)),
         jnp.asarray(qlens.astype(np.int32)), jnp.asarray(tlens.astype(np.int32)),
         gap_open, gap_extend, jnp.asarray(terminate.astype(np.int32)),
         t_tile=_pick_tile(tseqs_rev.shape[1]), with_terminate=True)
     return np.asarray(score), np.asarray(fj), np.asarray(fi), np.asarray(found)
+
+
+def sw_forward(qseqs, qlens, tseqs, tlens, sub_int, bias,
+               gap_open=11, gap_extend=1):
+    """Forward pass: returns (score, q_end, t_end) int32 arrays (B,)."""
+    prof = make_profiles(qseqs, qlens, sub_int, bias)
+    return sw_forward_from_profiles(prof, tseqs, tlens, qlens,
+                                    gap_open, gap_extend)
+
+
+def sw_reverse(qseqs_rev, qlens, tseqs_rev, tlens, sub_int, bias_rev,
+               terminate, gap_open=11, gap_extend=1):
+    """Reverse pass on reversed prefixes; `terminate[b]` = forward score.
+    Returns (score, j_break, i_break, found): j/i in reversed coordinates."""
+    prof = make_profiles(qseqs_rev, qlens, sub_int, bias_rev)
+    return sw_reverse_from_profiles(prof, tseqs_rev, tlens, qlens, terminate,
+                                    gap_open, gap_extend)

@@ -26,8 +26,9 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..db.setdb import SetDB
-from ..ops.sw import sw_forward, sw_reverse
-from ..native import banded_align
+from ..ops.sw import (make_profiles, sw_forward_from_profiles,
+                      sw_reverse_from_profiles)
+from ..native import banded_align, banded_align_profile
 from ..stats.evalue import EvalueComputation, BLOSUM62_GAPPED_11_1
 from ..stats.submat import SubstitutionMatrix, load_substitution_matrix, composition_bias_int8
 from .records import AlnRecord
@@ -100,7 +101,12 @@ class AlignmentEngine:
     def __init__(self, query_db: SetDB, target_db: SetDB,
                  params: AlignmentParams | None = None,
                  matrix: SubstitutionMatrix | None = None,
-                 same_qt_db: bool | None = None):
+                 same_qt_db: bool | None = None,
+                 query_profiles: dict[int, np.ndarray] | None = None):
+        """`query_profiles` maps query keys to (L, 21) int8 alignment
+        profiles (the reference's profile_for_alignment = pssm/4 with the
+        X column zeroed, Sequence.cpp:271-280); such queries are scored
+        per-position (PROFILE_SEQ) with no composition bias."""
         self.qdb = query_db
         self.tdb = target_db
         self.par = params or AlignmentParams()
@@ -109,13 +115,33 @@ class AlignmentEngine:
                                          BLOSUM62_GAPPED_11_1)
         self.same_qt_db = (same_qt_db if same_qt_db is not None
                            else query_db is target_db)
+        self.query_profiles = query_profiles or {}
         self._bias_cache: dict[int, np.ndarray] = {}
+
+    def _query_len(self, qk: int) -> int:
+        if qk in self.query_profiles:
+            return self.query_profiles[qk].shape[0]
+        return int(self.qdb.lengths[qk])
+
+    def _row_profile(self, qk: int, lq_pad: int) -> np.ndarray:
+        """(21, lq_pad) int32 scoring profile for one query."""
+        out = np.zeros((21, lq_pad), dtype=np.int32)
+        if qk in self.query_profiles:
+            qp = self.query_profiles[qk]
+            out[:, :qp.shape[0]] = qp.T.astype(np.int32)
+        else:
+            qs = self.qdb.sequence(qk)
+            out[:, :len(qs)] = (self.matrix.sub_int[qs].T.astype(np.int32)
+                                + self._bias(qk).astype(np.int32)[None, :])
+        return out
 
     # ------------------------------------------------------------------
     def _bias(self, qkey: int) -> np.ndarray:
         if qkey not in self._bias_cache:
             seq = self.qdb.sequence(qkey)
-            if self.par.comp_bias_correction:
+            if qkey in self.query_profiles:
+                self._bias_cache[qkey] = np.zeros(len(seq), dtype=np.int8)
+            elif self.par.comp_bias_correction:
                 self._bias_cache[qkey] = composition_bias_int8(
                     seq, self.matrix, self.par.comp_bias_correction_scale)
             else:
@@ -124,10 +150,15 @@ class AlignmentEngine:
 
     def _identity_record(self, qkey: int) -> AlnRecord:
         seq = self.qdb.sequence(qkey)
-        bias = self._bias(qkey)
         L = len(seq)
-        scores = (self.matrix.sub_int[seq, seq].astype(np.int64)
-                  + bias.astype(np.int64))
+        if qkey in self.query_profiles:
+            # profile_word_linear scoring (scoreIdentical with a profile)
+            qp = self.query_profiles[qkey]
+            scores = qp[np.arange(L), seq.astype(np.int64)].astype(np.int64)
+        else:
+            bias = self._bias(qkey)
+            scores = (self.matrix.sub_int[seq, seq].astype(np.int64)
+                      + bias.astype(np.int64))
         raw = np.int16(scores.sum())  # short accumulation (scoreIdentical)
         evalue = float(self.evaluer.compute_evalue(int(raw), L))
         bit = int(self.evaluer.compute_bit_score(int(raw)) + 0.5)
@@ -135,6 +166,45 @@ class AlignmentEngine:
                          qstart=0, qend=L - 1, qlen=L, tstart=0, tend=L - 1,
                          tlen=L, backtrace="M" * L, raw_score=int(raw),
                          qcov=1.0, tcov=1.0)
+
+    # ------------------------------------------------------------------
+    def forward_accepts(self, candidates: dict[int, list[int]],
+                        eval_thr: float, aln_len_thr: int,
+                        can_cov_thr: float, cov_mode: int
+                        ) -> dict[int, list[AlnRecord]]:
+        """SCORE_ONLY acceptance pass (the realign mode's first stage,
+        Alignment.cpp:47-56): forward SW only; records carry end positions
+        with start = -1 and the alignment-length proxy
+        max(qEnd, tEnd) + 2 (computeAlnLength with start -1)."""
+        tlens_all = self.tdb.lengths
+        accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in candidates}
+        pairs: list[tuple[int, int]] = []
+        for qk, tkeys in candidates.items():
+            for tk in tkeys:
+                if not can_be_covered(can_cov_thr, cov_mode,
+                                      self._query_len(qk), int(tlens_all[tk])):
+                    continue
+                if qk == tk and self.same_qt_db:
+                    accepted[qk].append(self._identity_record(qk))
+                else:
+                    pairs.append((qk, tk))
+        fwd = self._run_forward(pairs)
+        for (qk, tk), (score, q_end, t_end) in zip(pairs, fwd):
+            if t_end < 0:
+                continue
+            qlen = self._query_len(qk)
+            evalue = float(self.evaluer.compute_evalue(score, qlen))
+            proxy_aln_len = max(q_end + 1, t_end + 1) + 1
+            if evalue <= eval_thr and proxy_aln_len >= aln_len_thr:
+                bit = int(self.evaluer.compute_bit_score(score) + 0.5)
+                accepted[qk].append(AlnRecord(
+                    tkey=tk, score=bit, seq_id=0.0, evalue=evalue,
+                    qstart=-1, qend=q_end, qlen=qlen, tstart=-1, tend=t_end,
+                    tlen=int(tlens_all[tk]), backtrace="", raw_score=score))
+        for qk in accepted:
+            accepted[qk].sort(key=lambda r: (r.evalue, -r.score, r.tlen,
+                                             r.tkey))
+        return accepted
 
     # ------------------------------------------------------------------
     def align_all(self, candidates: dict[int, list[int]],
@@ -212,23 +282,19 @@ class AlignmentEngine:
             for s in range(0, len(idxs), max_batch):
                 chunk = idxs[s:s + max_batch]
                 B = len(chunk)
-                qarr = np.zeros((B, lq), dtype=np.uint8)
-                barr = np.zeros((B, lq), dtype=np.int8)
+                prof = np.zeros((B, 21, lq), dtype=np.int32)
                 tarr = np.zeros((B, lt), dtype=np.uint8)
                 ql = np.zeros(B, dtype=np.int32)
                 tl = np.zeros(B, dtype=np.int32)
                 for bi, pidx in enumerate(chunk):
                     qk, tk = pairs[pidx]
-                    qs = self.qdb.sequence(qk)
                     ts = self.tdb.sequence(tk)
-                    qarr[bi, :len(qs)] = qs
-                    barr[bi, :len(qs)] = self._bias(qk)
+                    prof[bi] = self._row_profile(qk, lq)
                     tarr[bi, :len(ts)] = ts
-                    ql[bi] = len(qs)
+                    ql[bi] = self._query_len(qk)
                     tl[bi] = len(ts)
-                score, q_end, t_end = sw_forward(
-                    qarr, ql, tarr, tl, self.matrix.sub_int, barr,
-                    self.par.gap_open, self.par.gap_extend)
+                score, q_end, t_end = sw_forward_from_profiles(
+                    prof, tarr, tl, ql, self.par.gap_open, self.par.gap_extend)
                 for bi, pidx in enumerate(chunk):
                     out[pidx] = (int(score[bi]), int(q_end[bi]), int(t_end[bi]))
         return out  # type: ignore[return-value]
@@ -249,25 +315,22 @@ class AlignmentEngine:
             for s in range(0, len(idxs), max_batch):
                 chunk = idxs[s:s + max_batch]
                 B = len(chunk)
-                qarr = np.zeros((B, lq), dtype=np.uint8)
-                barr = np.zeros((B, lq), dtype=np.int8)
+                prof = np.zeros((B, 21, lq), dtype=np.int32)
                 tarr = np.zeros((B, lt), dtype=np.uint8)
                 ql = np.zeros(B, dtype=np.int32)
                 tl = np.zeros(B, dtype=np.int32)
                 term = np.zeros(B, dtype=np.int32)
                 for bi, sidx in enumerate(chunk):
                     qk, tk, score, q_end, t_end, _ev = survivors[sidx]
-                    qr = self.qdb.sequence(qk)[:q_end + 1][::-1]
-                    br = self._bias(qk)[:q_end + 1][::-1]
+                    full = self._row_profile(qk, self._query_len(qk))
+                    prof[bi, :, :q_end + 1] = full[:, :q_end + 1][:, ::-1]
                     tr = self.tdb.sequence(tk)[:t_end + 1][::-1]
-                    qarr[bi, :len(qr)] = qr
-                    barr[bi, :len(br)] = br
                     tarr[bi, :len(tr)] = tr
-                    ql[bi] = len(qr)
+                    ql[bi] = q_end + 1
                     tl[bi] = len(tr)
                     term[bi] = score
-                _score, fj, fi, found = sw_reverse(
-                    qarr, ql, tarr, tl, self.matrix.sub_int, barr, term,
+                _score, fj, fi, found = sw_reverse_from_profiles(
+                    prof, tarr, tl, ql, term,
                     self.par.gap_open, self.par.gap_extend)
                 for bi, sidx in enumerate(chunk):
                     qk, tk, score, q_end, t_end, _ev = survivors[sidx]
@@ -293,10 +356,18 @@ class AlignmentEngine:
             return None
 
         # banded traceback in the rectangle
-        ops = banded_align(qseq[q_start:q_end + 1], tseq[t_start:t_end + 1],
-                           bias[q_start:q_end + 1],
-                           self.matrix.sub_int.astype(np.int8), score,
-                           par.gap_open, par.gap_extend)
+        if qk in self.query_profiles:
+            qp = self.query_profiles[qk]
+            ops = banded_align_profile(
+                tseq[t_start:t_end + 1], q_end - q_start + 1,
+                qp.T.astype(np.int8), q_start, score,
+                par.gap_open, par.gap_extend)
+        else:
+            ops = banded_align(qseq[q_start:q_end + 1],
+                               tseq[t_start:t_end + 1],
+                               bias[q_start:q_end + 1],
+                               self.matrix.sub_int.astype(np.int8), score,
+                               par.gap_open, par.gap_extend)
         aa_ids = 0
         qp, tp = q_start, t_start
         for op in ops:

@@ -44,11 +44,52 @@ SEED_ALPHA = 20          # X excluded from seeding
 PART_POW = SEED_ALPHA ** 3
 
 
-def kmer_score_threshold(sensitivity: float, kmer_size: int = 6) -> int:
-    """Prefiltering::getKmerThreshold sequence tables (Prefiltering.cpp:1050-1065)."""
-    table = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
+def kmer_score_threshold(sensitivity: float, kmer_size: int = 6,
+                         profile: bool = False) -> int:
+    """Prefiltering::getKmerThreshold tables (Prefiltering.cpp:1020-1065);
+    profile values are the no-context-pseudocount table."""
+    if profile:
+        table = {5: (108.8, 4.7), 6: (134.35, 6.15), 7: (149.15, 6.85)}
+    else:
+        table = {5: (160.75, 12.75), 6: (163.2, 8.917), 7: (186.15, 11.22)}
     base, per_step = table[kmer_size]
     return int(np.float32(base) - np.float32(sensitivity) * np.float32(per_step))
+
+
+_SORT20_NETWORK: list[tuple[int, int]] = [
+    # Util::rankedDescSort20's fixed sorting network (Util.cpp:88-114);
+    # ties resolve exactly as the swap sequence dictates.
+    (0, 16), (1, 17), (2, 18), (3, 19), (4, 12), (5, 13), (6, 14), (7, 15),
+    (0, 8), (1, 9), (2, 10), (3, 11),
+    (8, 16), (9, 17), (10, 18), (11, 19), (0, 4), (1, 5), (2, 6), (3, 7),
+    (8, 12), (9, 13), (10, 14), (11, 15), (4, 16), (5, 17), (6, 18), (7, 19),
+    (0, 2), (1, 3),
+    (4, 8), (5, 9), (6, 10), (7, 11), (12, 16), (13, 17), (14, 18), (15, 19),
+    (0, 1),
+    (4, 6), (5, 7), (8, 10), (9, 11), (12, 14), (13, 15), (16, 18), (17, 19),
+    (2, 16), (3, 17), (6, 12), (7, 13), (18, 19),
+    (2, 8), (3, 9), (10, 16), (11, 17),
+    (2, 4), (3, 5), (6, 8), (7, 9), (10, 12), (11, 13), (14, 16), (15, 17),
+    (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13), (14, 15), (16, 17),
+    (1, 16), (3, 18), (5, 12), (7, 14),
+    (1, 8), (3, 10), (9, 16), (11, 18),
+    (1, 4), (3, 6), (5, 8), (7, 10), (9, 12), (11, 14), (13, 16), (15, 18),
+    (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16),
+    (17, 18),
+]
+
+
+def ranked_desc_sort20(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Network-sort each row of (L, 20) descending; returns (scores, idx)."""
+    v = vals.astype(np.int16).copy()
+    idx = np.tile(np.arange(SEED_ALPHA, dtype=np.int32), (v.shape[0], 1))
+    for x, y in _SORT20_NETWORK:
+        swap = v[:, x] < v[:, y]
+        vx, vy = v[swap, x].copy(), v[swap, y].copy()
+        v[swap, x], v[swap, y] = vy, vx
+        ix, iy = idx[swap, x].copy(), idx[swap, y].copy()
+        idx[swap, x], idx[swap, y] = iy, ix
+    return v, idx
 
 
 _ROW_BIG = np.int64(1) << 20
@@ -206,13 +247,22 @@ class PrefilterEngine:
                  comp_bias_correction: bool = True,
                  mask: bool = True,
                  cov_thr: float = 0.0,
-                 cov_mode: int = 0):
+                 cov_mode: int = 0,
+                 query_profiles: dict[int, np.ndarray] | None = None,
+                 index: "KmerIndex | None" = None):
+        """`query_profiles` maps query keys to (L, 20) int16 PSSM scores
+        (the 8-bit-scaled profile_score rows, Sequence.cpp:241-264); such
+        queries use per-position k-mer generation, the profile k-mer
+        threshold table, and no composition bias. An existing `index` can
+        be shared across engines (iterative search reuses the target index)."""
         self.qdb = query_db
         self.tdb = target_db
+        self.query_profiles = query_profiles or {}
         # the prefilter builds matrices with scoreBias=-0.2 (Prefiltering.cpp:992)
         self.seed = load_pinned_matrix("vtml80_bf8_bias")
         self.ungapped = load_pinned_matrix("blosum62_bf2_bias")
-        self.kmer_thr = kmer_score_threshold(sensitivity)
+        self.kmer_thr = kmer_score_threshold(
+            sensitivity, profile=bool(self.query_profiles))
         self.max_seqs = max_seqs
         self.min_diag_score = min_diag_score
         self.comp_bias = comp_bias_correction
@@ -221,7 +271,13 @@ class PrefilterEngine:
         self.same_qt_db = (same_qt_db if same_qt_db is not None
                            else query_db is target_db)
         self.tables = build_seed_tables()
-        self.index = KmerIndex(target_db, self.kmer_thr, self.seed, mask=mask)
+        # NB the index seeding threshold uses the SEQUENCE k-mer threshold
+        # even for profile queries (localKmerThr logic, Prefiltering.cpp:525-528
+        # keeps kmerThr; with profile queries localKmerThr becomes 0)
+        index_thr = 0 if self.query_profiles else self.kmer_thr
+        self.index = index if index is not None else KmerIndex(
+            target_db, index_thr, self.seed, mask=mask)
+        self._bin_count = compute_bin_count(target_db.size)
         # target residue data (masked) padded into one array for rescore
         self._tseqs = self.index.masked
         self._tlens = target_db.lengths
@@ -310,21 +366,77 @@ class PrefilterEngine:
                  & 0xFFFF).astype(np.uint16)
         return seqs, diags
 
+    def _raw_hits_profile(self, qkey: int) -> tuple[np.ndarray, np.ndarray]:
+        """Profile-query hit events: per-position k-mer product generation
+        (KmerGenerator with per-position ScoreMatrix rows,
+        Sequence::nextProfileKmer + KmerGenerator.cpp:30-38,104-167)."""
+        qseq = self.qdb.sequence(qkey)
+        pssm = self.query_profiles[qkey]          # (L, 20) int16
+        sc_sorted, idx_sorted = ranked_desc_sort20(pssm)
+        starts, kmers = spaced_kmers(qseq)
+        empty = (np.empty(0, np.int32), np.empty(0, np.uint16))
+        if len(starts) == 0:
+            return empty
+        valid = ~(kmers == X_INDEX).any(axis=1)
+        powers = SEED_ALPHA ** np.arange(KMER_SIZE, dtype=np.int64)
+
+        hit_seqs, hit_diags = [], []
+        for w in starts[valid]:
+            pos = w + SPACED_PATTERN_6
+            rows_s = sc_sorted[pos].astype(np.int64)   # (6, 20) desc
+            rows_i = idx_sorted[pos].astype(np.int64)
+            best = rows_s[:, 0]
+            rest = np.concatenate((np.cumsum(best[::-1])[::-1][1:], [0]))
+            # nested product with per-level threshold pruning
+            part_scores = np.zeros(1, dtype=np.int64)
+            part_kmers = np.zeros(1, dtype=np.int64)
+            dead = False
+            for p in range(KMER_SIZE):
+                cut = self.kmer_thr - part_scores - rest[p]
+                n_p = np.searchsorted(-rows_s[p], -cut, side="right")
+                total = int(n_p.sum())
+                if total == 0:
+                    dead = True
+                    break
+                rep = np.repeat(np.arange(len(part_scores)), n_p)
+                j = _ragged_arange(n_p)
+                part_scores = part_scores[rep] + rows_s[p][j]
+                part_kmers = part_kmers[rep] + rows_i[p][j] * powers[p]
+            if dead:
+                continue
+            lo, hi = self.index.lookup_ranges(part_kmers)
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                continue
+            k_rep = np.repeat(np.arange(len(part_kmers)), cnt)
+            off = _ragged_arange(cnt)
+            take = lo[k_rep] + off
+            hit_seqs.append(self.index.seq_ids[take])
+            hit_diags.append(((w - self.index.positions[take])
+                              & 0xFFFF).astype(np.uint16))
+        if not hit_seqs:
+            return empty
+        return np.concatenate(hit_seqs), np.concatenate(hit_diags)
+
     def match_query(self, qkey: int) -> list[PrefilterHit]:
         qseq = self.qdb.sequence(qkey)
         L = len(qseq)
-        if self.comp_bias:
+        if qkey in self.query_profiles or not self.comp_bias:
+            bias_f32 = np.zeros(L, dtype=np.float32)
+        else:
             bias_f32 = local_aa_bias_correction(qseq, self.seed.sub_int,
                                                 self.seed.p_back, 1.0)
-        else:
-            bias_f32 = np.zeros(L, dtype=np.float32)
 
-        seqs, diags = self._raw_hits(qkey, bias_f32)
-        cand_seq, cand_diag = _find_double_diagonals(seqs, diags)
+        if qkey in self.query_profiles:
+            seqs, diags = self._raw_hits_profile(qkey)
+        else:
+            seqs, diags = self._raw_hits(qkey, bias_f32)
+        cand_seq, cand_diag, cand_arrival = _find_double_diagonals(seqs, diags)
         scores = self._rescore(qkey, bias_f32, cand_seq, cand_diag)
 
         # per-target max score (keepMaxScoreElementOnly)
-        hits = _per_target_max(cand_seq, cand_diag, scores)
+        hits = _per_target_max(cand_seq, cand_diag, scores, cand_arrival,
+                               self._bin_count)
 
         # histogram threshold (computeScoreThreshold) with identity slot
         thr = _score_threshold(hits, self.max_seqs)
@@ -334,6 +446,9 @@ class PrefilterEngine:
         identity = qkey if self.same_qt_db else None
         if identity is not None:
             out.append(PrefilterHit(seq_id=identity, score=65535, diagonal=0))
+        # stable counting sort desc by score over the bin-major detection
+        # stream (radixSortByScoreSize, QueryMatcher.cpp:498-523); the
+        # --max-seqs cap then truncates in this order
         order = np.argsort(-hits[:, 2].astype(np.int64), kind="stable")
         for i in order:
             sid, diag, score = int(hits[i, 0]), int(hits[i, 1]), int(hits[i, 2])
@@ -374,11 +489,18 @@ class PrefilterEngine:
         """Ungapped diagonal Kadane rescore, clamped at 255 (A.1)."""
         qseq = self.qdb.sequence(qkey)
         L = len(qseq)
-        # profile: blosum62-2bit + char(bias/4 +/- 0.5) (UngappedAlignment.cpp:392-414)
-        corr = bias_f32.astype(np.float64) / 4.0
-        corr = np.where(corr < 0.0, corr - 0.5, corr + 0.5).astype(np.int8)
-        profile = (self.ungapped.sub_int[qseq].astype(np.int32)
-                   + corr[:, None].astype(np.int32))  # (L, 21)
+        if qkey in self.query_profiles:
+            # alignment profile = pssm/4 (C truncation), X column 0
+            # (Sequence.cpp:271-280, UngappedAlignment.cpp:399-404)
+            pssm = self.query_profiles[qkey].astype(np.int32)
+            profile = np.zeros((L, 21), dtype=np.int32)
+            profile[:, :20] = np.trunc(pssm / 4).astype(np.int32)
+        else:
+            # profile: blosum62-2bit + char(bias/4 +/- 0.5) (UngappedAlignment.cpp:392-414)
+            corr = bias_f32.astype(np.float64) / 4.0
+            corr = np.where(corr < 0.0, corr - 0.5, corr + 0.5).astype(np.int8)
+            profile = (self.ungapped.sub_int[qseq].astype(np.int32)
+                       + corr[:, None].astype(np.int32))  # (L, 21)
 
         C = len(cand_seq)
         scores = np.zeros(C, dtype=np.int32)
@@ -429,12 +551,30 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def compute_bin_count(db_size: int) -> int:
+    """QueryMatcher::initDiagonalMatcher's L2-derived bin count
+    (QueryMatcher.cpp:424-451); affects only the order of tie-scored hits
+    at the --max-seqs cut."""
+    try:
+        import os
+        l2 = os.sysconf("SC_LEVEL2_CACHE_SIZE")
+        if l2 <= 0:
+            l2 = 2 * 1024 * 1024
+    except (ValueError, OSError):
+        l2 = 2 * 1024 * 1024
+    for n in (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
+        if db_size // n < l2:
+            return n
+    return 2048
+
+
 def _find_double_diagonals(seqs: np.ndarray, diags: np.ndarray
-                           ) -> tuple[np.ndarray, np.ndarray]:
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrival-order double-diagonal detection + consecutive dedup
     (CacheFriendlyOperations::findDuplicates, computeTotalScore=false)."""
     if len(seqs) == 0:
-        return np.empty(0, np.int32), np.empty(0, np.uint16)
+        return (np.empty(0, np.int32), np.empty(0, np.uint16),
+                np.empty(0, np.int64))
     diag8 = (diags & 0xFF).astype(np.uint8)
     order = np.argsort(seqs, kind="stable")  # per-seq arrival order preserved
     s_sorted = seqs[order]
@@ -446,33 +586,35 @@ def _find_double_diagonals(seqs: np.ndarray, diags: np.ndarray
 
     det_idx = np.nonzero(detected)[0]
     if len(det_idx) == 0:
-        return np.empty(0, np.int32), np.empty(0, np.uint16)
+        return (np.empty(0, np.int32), np.empty(0, np.uint16),
+                np.empty(0, np.int64))
     ds = s_sorted[det_idx]
     dd = d_sorted[det_idx]
     dfull = diags[order][det_idx]
+    arrival = order[det_idx]  # global arrival position of each detection
     # phase 2: drop consecutive same-diag duplicates per seq
     first2 = np.concatenate(([True], ds[1:] != ds[:-1]))
     prev2 = np.concatenate(([0], dd[:-1]))
     keep = first2 | (dd != prev2)
     ds = ds[keep]
     dfull = dfull[keep]
+    arrival = arrival[keep]
     # dedupe (seq, diag) keeping the FIRST occurrence in per-seq arrival
     # order — keepMaxElement later keeps the first max-scored entry
     # (CacheFriendlyOperations.cpp:358-377)
     key = ds.astype(np.int64) * (1 << 16) + dfull.astype(np.int64)
     _, first_idx = np.unique(key, return_index=True)
     first_idx.sort()
-    return ds[first_idx].astype(np.int32), dfull[first_idx].astype(np.uint16)
+    return (ds[first_idx].astype(np.int32), dfull[first_idx].astype(np.uint16),
+            arrival[first_idx].astype(np.int64))
 
 
-def _per_target_max(seqs: np.ndarray, diags: np.ndarray, scores: np.ndarray
-                    ) -> np.ndarray:
+def _per_target_max(seqs: np.ndarray, diags: np.ndarray, scores: np.ndarray,
+                    arrival: np.ndarray, bin_count: int) -> np.ndarray:
     """Keep the max-scoring diagonal per target — FIRST in per-seq arrival
-    order among ties (keepMaxElement). Returns (N,3) [seq, diag, score].
-
-    Input arrays are already grouped by seq in per-seq arrival order
-    (_find_double_diagonals), so a stable sort on (-score) within seq
-    groups keeps the first-arrival tie winner.
+    order among ties (keepMaxElement) — and return entries in the
+    bin-major (seq & mask) detection-stream order that feeds the radix
+    sort. Returns (N,3) [seq, diag, score].
     """
     if len(seqs) == 0:
         return np.empty((0, 3), np.int64)
@@ -480,6 +622,9 @@ def _per_target_max(seqs: np.ndarray, diags: np.ndarray, scores: np.ndarray
     s = seqs[order]
     first = np.concatenate(([True], s[1:] != s[:-1]))
     sel = order[first]
+    bins = seqs[sel].astype(np.int64) & (bin_count - 1)
+    stream = np.lexsort((arrival[sel], bins))
+    sel = sel[stream]
     return np.stack([seqs[sel].astype(np.int64), diags[sel].astype(np.int64),
                      scores[sel].astype(np.int64)], axis=1)
 
