@@ -48,6 +48,10 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mask", type=int, default=1)
     p.add_argument("--comp-bias-corr", type=int, default=1)
     p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--profile-cluster-search", action="store_true")
+    p.add_argument("--cluster-db",
+                   help="precomputed clusterdb dir of the target "
+                        "(default <target_db>_clu; built if absent)")
 
 
 def cmd_createsetdb(argv: list[str]) -> int:
@@ -88,9 +92,15 @@ def cmd_clustersearch(argv: list[str]) -> int:
         filter_self_match=a.filter_self_match,
         max_gene_gaps=a.max_gene_gap, cluster_size=a.cluster_size,
         p_clu_thr=a.cluster_pval, p_mh_thr=a.multihit_pval,
-        mask=bool(a.mask), comp_bias_correction=bool(a.comp_bias_corr))
+        mask=bool(a.mask), comp_bias_correction=bool(a.comp_bias_corr),
+        profile_cluster_search=a.profile_cluster_search)
+    cdb = None
+    if a.profile_cluster_search:
+        from .workflow.clusterdb import cluster_db_cached
+        cdb = cluster_db_cached(tdb, a.cluster_db or (a.target_db + "_clu"))
     t0 = time.time()
-    res = cluster_search_to_file(qdb, tdb, a.output, a.tmp_dir, params=params)
+    res = cluster_search_to_file(qdb, tdb, a.output, a.tmp_dir, params=params,
+                                 target_cluster_db=cdb)
     n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
     n_clusters = sum(1 for ln in res.tsv.splitlines() if ln.startswith("#"))
     print(f"clustersearch: {n_clusters} clusters / {n_hits} hits "
@@ -100,9 +110,231 @@ def cmd_clustersearch(argv: list[str]) -> int:
     return 0
 
 
+def _read_prefixed_tsv(path: str) -> dict[int, list[list[str]]]:
+    """Key-prefixed result lines (the prefixid --tsv idiom): each line is
+    `key \\t col1 \\t col2 ...`, grouped by leading key."""
+    out: dict[int, list[list[str]]] = {}
+    with open(path) as fh:
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            out.setdefault(int(cols[0]), []).append(cols)
+    return out
+
+
+def _write_prefixed_tsv(path: str, data: dict[int, list[list[str]]]) -> None:
+    with open(path, "w") as fh:
+        for key in data:
+            for cols in data[key]:
+                fh.write("\t".join(str(c) for c in cols) + "\n")
+
+
+def _write_matches(path: str, matches) -> None:
+    with open(path, "w") as fh:
+        for m in matches:
+            fh.write("#" + m.header + "\n")
+            for cols in m.lines:
+                fh.write("\t".join(cols) + "\n")
+
+
+def _read_matches(path: str):
+    from .cluster.aggregate import Match
+    matches = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                c = line[1:].rstrip("\n").split("\t")
+                matches.append(Match(qset=int(c[0]), tset=int(c[1]),
+                                     nq=int(c[2]), nt=int(c[3]), k=int(c[4]),
+                                     combined_eval_str=c[5]))
+            else:
+                matches[-1].lines.append(line.rstrip("\n").split("\t"))
+    return matches
+
+
+def _write_clusters(path: str, clusters) -> None:
+    with open(path, "w") as fh:
+        for cl in clusters:
+            fh.write("#" + cl.header + "\n")
+            for h in cl.hits:
+                fh.write(h.line if h.line.endswith("\n") else h.line + "\n")
+
+
+def _read_clusters(path: str):
+    from .cluster.clusterhits import Cluster, Hit
+    clusters = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                c = line[1:].rstrip("\n").split("\t")
+                clusters.append(Cluster(qset=int(c[0]), tset=int(c[1]),
+                                        p_co=float(c[2]), p_mh=float(c[3])))
+            else:
+                clusters[-1].hits.append(Hit(line=line, pval=0.0, q_pos=0,
+                                             t_pos=0, q_strand=True,
+                                             t_strand=True))
+    return clusters
+
+
+def cmd_gff2db(argv: list[str]) -> int:
+    """Per-genome GFF3 + contig FASTA -> gene SetDB (src/workflow/gff2db.cpp)."""
+    from .db.gff import create_setdb_from_gff
+    p = argparse.ArgumentParser(prog="spacedust gff2db")
+    p.add_argument("fna_inputs", nargs="+")
+    p.add_argument("out_db")
+    p.add_argument("--gff-dir", required=True,
+                   help="file listing one GFF path per line, or a directory")
+    p.add_argument("--gff-type", default="CDS")
+    p.add_argument("--translation-table", type=int, default=1)
+    a = p.parse_args(argv)
+    from pathlib import Path
+    gd = Path(a.gff_dir)
+    if gd.is_dir():
+        gff_files = sorted(str(p) for p in gd.glob("*.gff*"))
+    else:
+        gff_files = [ln.strip() for ln in gd.read_text().splitlines()
+                     if ln.strip()]
+    db = create_setdb_from_gff(gff_files, a.fna_inputs, gff_type=a.gff_type,
+                               translation_table=a.translation_table)
+    db.save(a.out_db)
+    print(f"gff2db: {db.size} genes in {db.num_sets} sets -> {a.out_db}")
+    return 0
+
+
+def cmd_clusterdb(argv: list[str]) -> int:
+    from .cluster.seqcluster import SeqClusterParams
+    from .workflow.clusterdb import ClusterDBParams, cluster_db
+    p = argparse.ArgumentParser(prog="spacedust clusterdb")
+    p.add_argument("in_db")
+    p.add_argument("out_dir", nargs="?",
+                   help="output dir (default <in_db>_clu)")
+    p.add_argument("--min-seq-id", type=float, default=0.7)
+    p.add_argument("-c", "--cov-thr", type=float, default=0.8)
+    p.add_argument("--cov-mode", type=int, default=0)
+    p.add_argument("--cluster-mode", type=int, default=0)
+    p.add_argument("-s", "--sensitivity", type=float, default=4.0)
+    a = p.parse_args(argv)
+    db = SetDB.load(a.in_db)
+    par = ClusterDBParams(cluster=SeqClusterParams(
+        seq_id_thr=a.min_seq_id, cov_thr=a.cov_thr, cov_mode=a.cov_mode,
+        sensitivity=a.sensitivity, mode=a.cluster_mode))
+    cdb = cluster_db(db, par)
+    out = a.out_dir or (a.in_db + "_clu")
+    cdb.save(out)
+    print(f"clusterdb: {db.size} seqs -> {len(cdb.rep_keys)} clusters -> {out}")
+    return 0
+
+
+def cmd_besthitbyset(argv: list[str]) -> int:
+    from .cluster.aggregate import besthit_by_set
+    p = argparse.ArgumentParser(prog="spacedust besthitbyset")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_tsv", help="key-prefixed alignment lines")
+    p.add_argument("out_tsv")
+    p.add_argument("--simple-best-hit", type=int, default=1)
+    p.add_argument("--suboptimal-hits", type=int, default=0)
+    a = p.parse_args(argv)
+    tdb = SetDB.load(a.target_db)
+    results = _read_prefixed_tsv(a.result_tsv)
+    agg = besthit_by_set(results, tdb,
+                         simple_best_hit=bool(a.simple_best_hit),
+                         subopt_hits_factor=a.suboptimal_hits)
+    _write_prefixed_tsv(a.out_tsv, agg)
+    return 0
+
+
+def cmd_mergeresultsbyset(argv: list[str]) -> int:
+    from .cluster.aggregate import merge_results_by_set
+    p = argparse.ArgumentParser(prog="spacedust mergeresultsbyset")
+    p.add_argument("query_db")
+    p.add_argument("in_tsv")
+    p.add_argument("out_tsv")
+    a = p.parse_args(argv)
+    qdb = SetDB.load(a.query_db)
+    merged = merge_results_by_set(_read_prefixed_tsv(a.in_tsv), qdb)
+    _write_prefixed_tsv(a.out_tsv, merged)
+    return 0
+
+
+def cmd_combinehits(argv: list[str]) -> int:
+    from .cluster.aggregate import combine_hits
+    p = argparse.ArgumentParser(prog="spacedust combinehits")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("merged_tsv", help="set-merged best-hit lines")
+    p.add_argument("out")
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--aggregation-mode", type=int, default=0)
+    p.add_argument("--filter-self-match", action="store_true")
+    a = p.parse_args(argv)
+    qdb = SetDB.load(a.query_db)
+    tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
+    merged = _read_prefixed_tsv(a.merged_tsv)
+    matches = combine_hits(merged, qdb, tdb, alpha=a.alpha,
+                           aggregation_mode=a.aggregation_mode,
+                           filter_self_match=a.filter_self_match)
+    _write_matches(a.out, matches)
+    return 0
+
+
+def cmd_clusterhits(argv: list[str]) -> int:
+    from .cluster.clusterhits import cluster_hits
+    p = argparse.ArgumentParser(prog="spacedust clusterhits")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("matches")
+    p.add_argument("out")
+    p.add_argument("--multihit-pval", type=float, default=0.01)
+    p.add_argument("--cluster-pval", type=float, default=0.01)
+    p.add_argument("--max-gene-gap", type=int, default=3)
+    p.add_argument("--cluster-size", type=int, default=2)
+    p.add_argument("--alpha", type=float, default=1.0)
+    a = p.parse_args(argv)
+    qdb = SetDB.load(a.query_db)
+    tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
+    clusters = cluster_hits(_read_matches(a.matches), qdb, tdb,
+                            max_gene_gaps=a.max_gene_gap,
+                            cluster_size=a.cluster_size,
+                            p_clu_thr=a.cluster_pval,
+                            p_mh_thr=a.multihit_pval, alpha=a.alpha)
+    _write_clusters(a.out, clusters)
+    return 0
+
+
+def cmd_summarizeresults(argv: list[str]) -> int:
+    from .cluster.summarize import summarize_results
+    p = argparse.ArgumentParser(prog="spacedust summarizeresults")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("clusters")
+    p.add_argument("out_tsv")
+    a = p.parse_args(argv)
+    qdb = SetDB.load(a.query_db)
+    tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
+    tsv = summarize_results(_read_clusters(a.clusters), qdb, tdb)
+    with open(a.out_tsv, "w") as fh:
+        fh.write(tsv)
+    return 0
+
+
+def cmd_aa2foldseek(argv: list[str]) -> int:
+    from .workflow.aa2foldseek import aa2foldseek_cli
+    return aa2foldseek_cli(argv)
+
+
 COMMANDS = {
+    # the reference's 9 commands (src/spacedust.cpp:26-120)
     "createsetdb": cmd_createsetdb,
+    "gff2db": cmd_gff2db,
+    "aa2foldseek": cmd_aa2foldseek,
+    "clusterdb": cmd_clusterdb,
     "clustersearch": cmd_clustersearch,
+    "besthitbyset": cmd_besthitbyset,
+    "combinehits": cmd_combinehits,
+    "summarizeresults": cmd_summarizeresults,
+    "clusterhits": cmd_clusterhits,
+    # workflow-internal module stage, exposed for interop
+    "mergeresultsbyset": cmd_mergeresultsbyset,
 }
 
 

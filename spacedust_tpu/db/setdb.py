@@ -43,6 +43,9 @@ class SetDB:
     pos_idx: np.ndarray = field(default=None)     # int32 gene index in genome
     starts: np.ndarray = field(default=None)      # int64 CDS start (as in name)
     ends: np.ndarray = field(default=None)        # int64 CDS end
+    # optional structural (3Di) states per gene, same offsets as seq_data
+    # (the reference's *_ss sidecar DB, e.g. examples/foldseek_testdb):
+    ss_data: np.ndarray = field(default=None)     # uint8 encoded 3Di states
 
     # ------------------------------------------------------------------
     @property
@@ -69,6 +72,49 @@ class SetDB:
     def sequence(self, key: int) -> np.ndarray:
         return self.seq_data[self.offsets[key]:self.offsets[key + 1]]
 
+    @property
+    def has_ss(self) -> bool:
+        return self.ss_data is not None
+
+    def ss_sequence(self, key: int) -> np.ndarray:
+        return self.ss_data[self.offsets[key]:self.offsets[key + 1]]
+
+    def subset(self, keys: list[int]) -> "SetDB":
+        """New SetDB containing the given genes (renumbered 0..n-1; names,
+        set ids, and sidecar 3Di states preserved) — the createsubdb
+        module equivalent."""
+        keys = list(keys)
+        parts = [self.sequence(k) for k in keys]
+        offsets = np.concatenate(
+            ([0], np.cumsum([len(p) for p in parts]))).astype(np.int64)
+        sub = SetDB(
+            dbtype=self.dbtype,
+            seq_data=(np.concatenate(parts) if parts
+                      else np.empty(0, np.uint8)),
+            offsets=offsets,
+            names=[self.names[k] for k in keys],
+            set_ids=self.set_ids[keys].copy(),
+            headers=[self.headers[k] for k in keys],
+            sources=list(self.sources))
+        if self.has_ss:
+            sub.ss_data = np.concatenate(
+                [self.ss_sequence(k) for k in keys]) if keys else \
+                np.empty(0, np.uint8)
+        sub.finalize_metadata()
+        return sub
+
+    def ss_view(self) -> "SetDB":
+        """A SetDB view whose primary residues are the 3Di states (shares
+        all metadata) — feeds the structure-mode prefilter/index."""
+        if not self.has_ss:
+            raise ValueError("SetDB has no 3Di (_ss) data")
+        view = SetDB(dbtype=self.dbtype, seq_data=self.ss_data,
+                     offsets=self.offsets, names=self.names,
+                     set_ids=self.set_ids, headers=self.headers,
+                     sources=self.sources, pos_idx=self.pos_idx,
+                     starts=self.starts, ends=self.ends)
+        return view
+
     def strand(self, key: int) -> bool:
         """True = plus strand (start < end), as ClusterHits.cpp:349-350."""
         return bool(self.starts[key] < self.ends[key])
@@ -93,6 +139,8 @@ class SetDB:
         np.save(path / "seq_data.npy", self.seq_data)
         np.save(path / "offsets.npy", self.offsets)
         np.save(path / "set_ids.npy", self.set_ids)
+        if self.ss_data is not None:
+            np.save(path / "ss_data.npy", self.ss_data)
         meta = {
             "dbtype": self.dbtype,
             "names": self.names,
@@ -114,6 +162,8 @@ class SetDB:
             headers=meta["headers"],
             sources=meta["sources"],
         )
+        if (path / "ss_data.npy").exists():
+            db.ss_data = np.load(path / "ss_data.npy")
         db.finalize_metadata()
         return db
 

@@ -60,6 +60,17 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # band_width
             ctypes.c_char_p, ctypes.c_int,    # out, cap
         ]
+        lib.banded_align_profile_u16.restype = ctypes.c_int
+        lib.banded_align_profile_u16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),  # t (wide symbols)
+            ctypes.c_int, ctypes.c_int,       # q_len, t_len
+            ctypes.POINTER(ctypes.c_int8),    # prof [sym][qpos]
+            ctypes.c_int, ctypes.c_int,       # prof_qlen, query_start
+            ctypes.c_int,                     # score
+            ctypes.c_int, ctypes.c_int,       # gap_open, gap_extend
+            ctypes.c_int,                     # band_width
+            ctypes.c_char_p, ctypes.c_int,    # out, cap
+        ]
         lib.w_contrib_rcp.restype = None
         lib.w_contrib_rcp.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),

@@ -37,8 +37,6 @@ inline long band_d(int w, int i, int j, int p) {
 
 }  // namespace
 
-extern "C" {
-
 // Returns length of ops written (M/I/D chars into out_ops, max out_cap),
 // or -1 on failure (score not reached even at max band), -2 if out_cap
 // too small.
@@ -48,7 +46,8 @@ extern "C" {
 //   * mat != NULL: cell score = mat[q[i]*alpha + t[j]] + bias[i]
 //   * prof != NULL: cell score = prof[t[j]*prof_qlen + (query_start+i)]
 //     (per-position profile, layout [aa][query_pos])
-static int banded_align_impl(const uint8_t* q, const uint8_t* t,
+template <typename TT>
+static int banded_align_impl(const uint8_t* q, const TT* t,
                              const int8_t* bias, int q_len, int t_len,
                              const int8_t* mat, int alpha_size,
                              const int8_t* prof, int prof_qlen,
@@ -155,6 +154,8 @@ static int banded_align_impl(const uint8_t* q, const uint8_t* t,
     return (int)ops.size();
 }
 
+extern "C" {
+
 int banded_align(const uint8_t* q, const uint8_t* t, const int8_t* bias,
                  int q_len, int t_len, const int8_t* mat, int alpha_size,
                  int score, int gap_open, int gap_extend, int band_width,
@@ -168,6 +169,19 @@ int banded_align_profile(const uint8_t* t, int q_len, int t_len,
                          const int8_t* prof, int prof_qlen, int query_start,
                          int score, int gap_open, int gap_extend,
                          int band_width, char* out_ops, int out_cap) {
+    return banded_align_impl(NULL, t, NULL, q_len, t_len, NULL, 0, prof,
+                             prof_qlen, query_start, score, gap_open,
+                             gap_extend, band_width, out_ops, out_cap);
+}
+
+// Wide-alphabet profile variant (uint16 target symbols) for the combined
+// 3Di x amino-acid alphabet of the structure-alignment mode (441 symbols:
+// symbol = ss*21 + aa).
+int banded_align_profile_u16(const uint16_t* t, int q_len, int t_len,
+                             const int8_t* prof, int prof_qlen,
+                             int query_start, int score, int gap_open,
+                             int gap_extend, int band_width, char* out_ops,
+                             int out_cap) {
     return banded_align_impl(NULL, t, NULL, q_len, t_len, NULL, 0, prof,
                              prof_qlen, query_start, score, gap_open,
                              gap_extend, band_width, out_ops, out_cap);

@@ -117,6 +117,14 @@ class AlignmentEngine:
                            else query_db is target_db)
         self.query_profiles = query_profiles or {}
         self._bias_cache: dict[int, np.ndarray] = {}
+        # scoring alphabet width; subclasses may widen it (the structure
+        # mode scores over the combined 3Di x AA alphabet of 441 symbols)
+        self.alpha = 21
+
+    def _target_symbols(self, tk: int) -> np.ndarray:
+        """Target symbol sequence in the scoring alphabet (hook for the
+        combined-alphabet structure mode)."""
+        return self.tdb.sequence(tk)
 
     def _query_len(self, qk: int) -> int:
         if qk in self.query_profiles:
@@ -124,8 +132,8 @@ class AlignmentEngine:
         return int(self.qdb.lengths[qk])
 
     def _row_profile(self, qk: int, lq_pad: int) -> np.ndarray:
-        """(21, lq_pad) int32 scoring profile for one query."""
-        out = np.zeros((21, lq_pad), dtype=np.int32)
+        """(alpha, lq_pad) int32 scoring profile for one query."""
+        out = np.zeros((self.alpha, lq_pad), dtype=np.int32)
         if qk in self.query_profiles:
             qp = self.query_profiles[qk]
             out[:, :qp.shape[0]] = qp.T.astype(np.int32)
@@ -278,17 +286,17 @@ class AlignmentEngine:
 
         out: list[tuple[int, int, int] | None] = [None] * len(pairs)
         for (lq, lt), idxs in sorted(buckets.items()):
-            max_batch = max(1, (1 << 20) // lq)
+            max_batch = max(1, (1 << 20) // lq // max(1, self.alpha // 21))
             for s in range(0, len(idxs), max_batch):
                 chunk = idxs[s:s + max_batch]
                 B = len(chunk)
-                prof = np.zeros((B, 21, lq), dtype=np.int32)
-                tarr = np.zeros((B, lt), dtype=np.uint8)
+                prof = np.zeros((B, self.alpha, lq), dtype=np.int32)
+                tarr = np.zeros((B, lt), dtype=np.int32)
                 ql = np.zeros(B, dtype=np.int32)
                 tl = np.zeros(B, dtype=np.int32)
                 for bi, pidx in enumerate(chunk):
                     qk, tk = pairs[pidx]
-                    ts = self.tdb.sequence(tk)
+                    ts = self._target_symbols(tk)
                     prof[bi] = self._row_profile(qk, lq)
                     tarr[bi, :len(ts)] = ts
                     ql[bi] = self._query_len(qk)
@@ -311,12 +319,12 @@ class AlignmentEngine:
 
         out: list[tuple[int, int] | None] = [None] * len(survivors)
         for (lq, lt), idxs in sorted(buckets.items()):
-            max_batch = max(1, (1 << 20) // lq)
+            max_batch = max(1, (1 << 20) // lq // max(1, self.alpha // 21))
             for s in range(0, len(idxs), max_batch):
                 chunk = idxs[s:s + max_batch]
                 B = len(chunk)
-                prof = np.zeros((B, 21, lq), dtype=np.int32)
-                tarr = np.zeros((B, lt), dtype=np.uint8)
+                prof = np.zeros((B, self.alpha, lq), dtype=np.int32)
+                tarr = np.zeros((B, lt), dtype=np.int32)
                 ql = np.zeros(B, dtype=np.int32)
                 tl = np.zeros(B, dtype=np.int32)
                 term = np.zeros(B, dtype=np.int32)
@@ -324,7 +332,7 @@ class AlignmentEngine:
                     qk, tk, score, q_end, t_end, _ev = survivors[sidx]
                     full = self._row_profile(qk, self._query_len(qk))
                     prof[bi, :, :q_end + 1] = full[:, :q_end + 1][:, ::-1]
-                    tr = self.tdb.sequence(tk)[:t_end + 1][::-1]
+                    tr = self._target_symbols(tk)[:t_end + 1][::-1]
                     tarr[bi, :len(tr)] = tr
                     ql[bi] = q_end + 1
                     tl[bi] = len(tr)
@@ -341,6 +349,24 @@ class AlignmentEngine:
         return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
+    def _traceback(self, qk: int, tk: int, q_start: int, q_end: int,
+                   t_start: int, t_end: int, score: int) -> str:
+        tseq = self.tdb.sequence(tk)
+        if qk in self.query_profiles:
+            qp = self.query_profiles[qk]
+            return banded_align_profile(
+                tseq[t_start:t_end + 1], q_end - q_start + 1,
+                qp.T.astype(np.int8), q_start, score,
+                self.par.gap_open, self.par.gap_extend)
+        qseq = self.qdb.sequence(qk)
+        bias = self._bias(qk)
+        return banded_align(qseq[q_start:q_end + 1],
+                            tseq[t_start:t_end + 1],
+                            bias[q_start:q_end + 1],
+                            self.matrix.sub_int.astype(np.int8), score,
+                            self.par.gap_open, self.par.gap_extend)
+
+    # ------------------------------------------------------------------
     def _finish_pair(self, qk: int, tk: int, score: int, q_start: int,
                      q_end: int, t_start: int, t_end: int,
                      evalue: float) -> AlnRecord | None:
@@ -348,7 +374,6 @@ class AlignmentEngine:
         qseq = self.qdb.sequence(qk)
         tseq = self.tdb.sequence(tk)
         qlen, tlen = len(qseq), len(tseq)
-        bias = self._bias(qk)
 
         qcov = compute_cov(q_start, q_end, qlen)
         tcov = compute_cov(t_start, t_end, tlen)
@@ -356,18 +381,7 @@ class AlignmentEngine:
             return None
 
         # banded traceback in the rectangle
-        if qk in self.query_profiles:
-            qp = self.query_profiles[qk]
-            ops = banded_align_profile(
-                tseq[t_start:t_end + 1], q_end - q_start + 1,
-                qp.T.astype(np.int8), q_start, score,
-                par.gap_open, par.gap_extend)
-        else:
-            ops = banded_align(qseq[q_start:q_end + 1],
-                               tseq[t_start:t_end + 1],
-                               bias[q_start:q_end + 1],
-                               self.matrix.sub_int.astype(np.int8), score,
-                               par.gap_open, par.gap_extend)
+        ops = self._traceback(qk, tk, q_start, q_end, t_start, t_end, score)
         aa_ids = 0
         qp, tp = q_start, t_start
         for op in ops:

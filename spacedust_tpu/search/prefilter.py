@@ -109,7 +109,7 @@ class SeedTables:
         return (pos - rows.astype(np.int64) * PART_POW).astype(np.int64)
 
 
-@lru_cache(maxsize=2)
+@lru_cache(maxsize=4)
 def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
     m = load_pinned_matrix(matrix_name)
     sub = m.sub_int[:SEED_ALPHA, :SEED_ALPHA].astype(np.int32)
@@ -249,7 +249,9 @@ class PrefilterEngine:
                  cov_thr: float = 0.0,
                  cov_mode: int = 0,
                  query_profiles: dict[int, np.ndarray] | None = None,
-                 index: "KmerIndex | None" = None):
+                 index: "KmerIndex | None" = None,
+                 seed_matrix_name: str = "vtml80_bf8_bias",
+                 ungapped_matrix_name: str = "blosum62_bf2_bias"):
         """`query_profiles` maps query keys to (L, 20) int16 PSSM scores
         (the 8-bit-scaled profile_score rows, Sequence.cpp:241-264); such
         queries use per-position k-mer generation, the profile k-mer
@@ -259,8 +261,8 @@ class PrefilterEngine:
         self.tdb = target_db
         self.query_profiles = query_profiles or {}
         # the prefilter builds matrices with scoreBias=-0.2 (Prefiltering.cpp:992)
-        self.seed = load_pinned_matrix("vtml80_bf8_bias")
-        self.ungapped = load_pinned_matrix("blosum62_bf2_bias")
+        self.seed = load_pinned_matrix(seed_matrix_name)
+        self.ungapped = load_pinned_matrix(ungapped_matrix_name)
         self.kmer_thr = kmer_score_threshold(
             sensitivity, profile=bool(self.query_profiles))
         self.max_seqs = max_seqs
@@ -270,7 +272,7 @@ class PrefilterEngine:
         self.cov_mode = cov_mode
         self.same_qt_db = (same_qt_db if same_qt_db is not None
                            else query_db is target_db)
-        self.tables = build_seed_tables()
+        self.tables = build_seed_tables(seed_matrix_name)
         # NB the index seeding threshold uses the SEQUENCE k-mer threshold
         # even for profile queries (localKmerThr logic, Prefiltering.cpp:525-528
         # keeps kmerThr; with profile queries localKmerThr becomes 0)

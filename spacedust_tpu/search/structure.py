@@ -1,0 +1,202 @@
+"""Structure search (3Di): native equivalent of the reference's
+--search-mode 1/2 foldseek path.
+
+The reference shells out to an external Foldseek binary
+(data/clustersearch.sh:84-107, src/commons/LocalParameters.h:76); here
+the structure comparison is native: a k-mer prefilter over the 3Di state
+sequences (pinned mat3di substitution matrix, data/derived/mat3di.json)
+followed by gapped alignment over the COMBINED 3Di x amino-acid alphabet
+— per-cell score = mat3di[q_ss, t_ss] + round(0.7 * blosum62[q_aa, t_aa]),
+i.e. Foldseek's 2.1-bit 3Di + 1.4-bit amino-acid weighting (van Kempen
+et al. 2024), with gap costs 10/1 (Foldseek defaults).
+
+Combined symbols are encoded as ss*21 + aa (441-wide alphabet); the
+batched SW kernel gathers per-position profile columns by the combined
+symbol, so the MXU path is unchanged. E-values use the ungapped
+Karlin-Altschul (lambda, K) of the combined matrix under the product
+background — the reference's foldseek uses a neural-net E-value model
+that is not vendored, so this is a documented approximation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+from ..db.setdb import SetDB
+from ..native import get_lib
+from ..stats.evalue import EvalueComputation, GumbelParams
+from ..stats.submat import load_pinned_matrix, c_round
+from .alignment import AlignmentEngine, AlignmentParams, COV_MODE_QUERY
+from .prefilter import PrefilterEngine
+from .records import AlnRecord
+
+ALPHA = 21
+COMBINED_ALPHA = ALPHA * ALPHA
+
+
+@lru_cache(maxsize=1)
+def combined_matrices():
+    """(mat3di_int 21x21, aa_scaled 21x21, GumbelParams) for the combined
+    3Di+AA scoring."""
+    m3di = load_pinned_matrix("mat3di")
+    blosum = load_pinned_matrix("blosum62_bf2")
+    aa_scaled = c_round(0.7 * blosum.sub_int.astype(np.float64)).astype(
+        np.int32)
+
+    # ungapped KA stats of the combined score under product background
+    p3 = m3di.p_back[:20] / m3di.p_back[:20].sum()
+    paa = blosum.p_back[:20] / blosum.p_back[:20].sum()
+    s3 = m3di.sub_int[:20, :20].astype(np.float64)
+    saa = aa_scaled[:20, :20].astype(np.float64)
+
+    def expect(lam):
+        e3 = (p3[:, None] * p3[None, :] * np.exp(lam * s3))
+        eaa = (paa[:, None] * paa[None, :] * np.exp(lam * saa))
+        return float(e3.sum() * eaa.sum())
+
+    lo, hi = 1e-6, 2.0
+    while expect(hi) < 1.0:
+        hi *= 2
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if expect(mid) < 1.0:
+            lo = mid
+        else:
+            hi = mid
+    lam = 0.5 * (lo + hi)
+    # relative entropy H of the combined aligned-pair distribution
+    w3 = p3[:, None] * p3[None, :] * np.exp(lam * s3)
+    waa = paa[:, None] * paa[None, :] * np.exp(lam * saa)
+    joint = w3.sum() * waa.sum()
+    h3 = (w3 * lam * s3).sum() * waa.sum()
+    haa = (waa * lam * saa).sum() * w3.sum()
+    H = (h3 + haa) / joint
+    K = 0.1  # provisional (no neural-net E-value model to pin against)
+    params = GumbelParams(lam=lam, K=K, a_J=1.0 / H, b_J=0.0,
+                          a_I=1.0 / H, b_I=0.0, alpha_J=1.0 / H, beta_J=0.0,
+                          alpha_I=1.0 / H, beta_I=0.0, sigma=1.0 / H,
+                          tau=0.0)
+    return m3di.sub_int.astype(np.int32), aa_scaled, params
+
+
+@dataclass
+class StructureSearchParams:
+    """Foldseek search defaults, with the flags clustersearch forwards
+    (LocalParameters.h foldseeksearch list: -e 10, -c 0.8, cov-mode query,
+    --max-seqs 300, backtrace)."""
+    sensitivity: float = 9.5
+    max_seqs: int = 300
+    eval_thr: float = 10.0
+    cov_thr: float = 0.8
+    cov_mode: int = COV_MODE_QUERY
+    aln_len_thr: int = 0
+    gap_open: int = 10
+    gap_extend: int = 1
+    mask: bool = True
+    comp_bias_correction: bool = True
+
+
+class StructureAlignmentEngine(AlignmentEngine):
+    """Gapped alignment over the combined 3Di x AA alphabet."""
+
+    def __init__(self, query_db: SetDB, target_db: SetDB,
+                 params: AlignmentParams, same_qt_db: bool):
+        if not (query_db.has_ss and target_db.has_ss):
+            raise ValueError("structure alignment requires _ss (3Di) data")
+        super().__init__(query_db, target_db, params, same_qt_db=same_qt_db)
+        self.alpha = COMBINED_ALPHA
+        self.m3di, self.aa_scaled, gumbel = combined_matrices()
+        self.evaluer = EvalueComputation(target_db.total_residues, gumbel)
+        self._prof_cache: dict[int, np.ndarray] = {}
+
+    # combined symbol = ss*21 + aa
+    def _target_symbols(self, tk: int) -> np.ndarray:
+        return (self.tdb.ss_sequence(tk).astype(np.int32) * ALPHA
+                + self.tdb.sequence(tk).astype(np.int32))
+
+    def _combined_profile(self, qk: int) -> np.ndarray:
+        """(L, 441) int32: profile[i, ss*21+aa] = 3Di + scaled-AA score."""
+        if qk not in self._prof_cache:
+            qss = self.qdb.ss_sequence(qk).astype(np.int64)
+            qaa = self.qdb.sequence(qk).astype(np.int64)
+            p3 = self.m3di[qss]          # (L, 21)
+            paa = self.aa_scaled[qaa]    # (L, 21)
+            self._prof_cache[qk] = (
+                p3[:, :, None] + paa[:, None, :]).reshape(len(qss), -1)
+        return self._prof_cache[qk]
+
+    def _row_profile(self, qk: int, lq_pad: int) -> np.ndarray:
+        out = np.zeros((self.alpha, lq_pad), dtype=np.int32)
+        cp = self._combined_profile(qk)
+        out[:, :cp.shape[0]] = cp.T
+        return out
+
+    def _identity_record(self, qk: int) -> AlnRecord:
+        cp = self._combined_profile(qk)
+        sym = self._target_symbols(qk).astype(np.int64)
+        L = len(sym)
+        raw = int(np.int16(cp[np.arange(L), sym].astype(np.int64).sum()))
+        evalue = float(self.evaluer.compute_evalue(raw, L))
+        bit = int(self.evaluer.compute_bit_score(raw) + 0.5)
+        return AlnRecord(tkey=qk, score=bit, seq_id=1.0, evalue=evalue,
+                         qstart=0, qend=L - 1, qlen=L, tstart=0, tend=L - 1,
+                         tlen=L, backtrace="M" * L, raw_score=raw,
+                         qcov=1.0, tcov=1.0)
+
+    def _traceback(self, qk: int, tk: int, q_start: int, q_end: int,
+                   t_start: int, t_end: int, score: int) -> str:
+        import ctypes
+        lib = get_lib()
+        tsym = np.ascontiguousarray(
+            self._target_symbols(tk)[t_start:t_end + 1], dtype=np.uint16)
+        prof = np.ascontiguousarray(self._combined_profile(qk).T,
+                                    dtype=np.int8)  # (441, L), scores fit i8
+        q_len = q_end - q_start + 1
+        band_width = abs(len(tsym) - q_len) + 1
+        cap = q_len + len(tsym) + 8
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.banded_align_profile_u16(
+            tsym.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            q_len, len(tsym),
+            prof.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            prof.shape[1], q_start, int(score),
+            self.par.gap_open, self.par.gap_extend, band_width, buf, cap)
+        if n < 0:
+            raise RuntimeError(f"banded_align_profile_u16 failed: {n}")
+        return buf.raw[:n].decode("ascii")
+
+
+def structure_search(query_db: SetDB, target_db: SetDB,
+                     params: StructureSearchParams | None = None,
+                     same_qt_db: bool | None = None
+                     ) -> dict[int, list[AlnRecord]]:
+    """3Di k-mer prefilter + combined-alphabet gapped alignment."""
+    par = params or StructureSearchParams()
+    if same_qt_db is None:
+        same_qt_db = query_db is target_db
+    q_ss = query_db.ss_view()
+    t_ss = target_db.ss_view() if target_db is not query_db else q_ss
+
+    pref = PrefilterEngine(q_ss, t_ss, sensitivity=par.sensitivity,
+                           max_seqs=par.max_seqs, same_qt_db=same_qt_db,
+                           comp_bias_correction=par.comp_bias_correction,
+                           mask=par.mask,
+                           cov_thr=par.cov_thr, cov_mode=par.cov_mode,
+                           seed_matrix_name="mat3di_bf8_bias",
+                           ungapped_matrix_name="mat3di")
+    cands = {qk: [h.seq_id for h in pref.match_query(qk)]
+             for qk in range(query_db.size)}
+
+    aln_par = AlignmentParams(gap_open=par.gap_open,
+                              gap_extend=par.gap_extend,
+                              eval_thr=par.eval_thr, cov_thr=par.cov_thr,
+                              cov_mode=par.cov_mode,
+                              aln_len_thr=par.aln_len_thr,
+                              comp_bias_correction=False)
+    eng = StructureAlignmentEngine(query_db, target_db, aln_par,
+                                   same_qt_db=same_qt_db)
+    return eng.align_all(cands)

@@ -154,6 +154,13 @@ class EvalueComputation:
         return (self.compute_bit_score(score) + 0.5).astype(np.int64) \
             if isinstance(score, np.ndarray) else int(self.compute_bit_score(score) + 0.5)
 
+    def compute_raw_score_from_bit_score(self, bit_score):
+        """Inverse of computeBitScore (EvalueComputation.h:22-24), used by
+        swapresults to re-derive the raw score before recomputing the
+        E-value in the swapped direction (Matcher.h:93-95)."""
+        return (self.log_k + np.asarray(bit_score, dtype=np.float64)
+                * math.log(2.0)) / self.p.lam
+
     def min_score(self, evalue: float, query_len: float) -> int:
         # EvalueComputation.h:26-30
         s = (math.log(self.p.K * float(self.area(60.0, query_len)))

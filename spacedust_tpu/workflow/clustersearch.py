@@ -50,6 +50,17 @@ class ClusterSearchParams:
     p_mh_thr: float = 0.01
     mask: bool = True
     comp_bias_correction: bool = True
+    # --profile-cluster-search (clustersearch.cpp:29-36): search against
+    # the target's cluster-representative profiles, then expand hits to
+    # cluster members (expandaln); e 1e-3, 100 results.
+    profile_cluster_search: bool = False
+    profile_eval_thr: float = 1e-3
+    profile_max_res: int = 100
+    # --search-mode (LocalParameters.h:32-41): 0 = sequence, 1 = foldseek
+    # on aa2foldseek-mapped subset + sequence search of the unmapped rest,
+    # 2 = structure (3Di) search of the whole DB (ProstT5/foldseek-testdb
+    # style, _ss states present in the SetDB)
+    search_mode: int = 0
 
 
 @dataclass
@@ -64,36 +75,79 @@ class ClusterSearchResult:
 def cluster_search(query_db: SetDB, target_db: SetDB,
                    params: ClusterSearchParams | None = None,
                    same_qt_db: bool | None = None,
+                   target_cluster_db=None,
                    progress: bool = False) -> ClusterSearchResult:
+    """`target_cluster_db`: a workflow.clusterdb.ClusterDB of the target
+    (required for --profile-cluster-search, mirroring the reference's
+    precomputed TARGET_clu_rep_profile/_clu_aln sidecars,
+    data/clustersearch.sh:69-80)."""
     par = params or ClusterSearchParams()
     if same_qt_db is None:
         same_qt_db = query_db is target_db
     timings: dict[str, float] = {}
 
-    t0 = time.time()
-    pref = PrefilterEngine(query_db, target_db,
-                           sensitivity=par.sensitivity,
-                           max_seqs=par.max_seqs,
-                           same_qt_db=same_qt_db,
-                           comp_bias_correction=par.comp_bias_correction,
-                           mask=par.mask,
-                           cov_thr=par.cov_thr, cov_mode=par.cov_mode)
-    timings["index"] = time.time() - t0
+    if par.profile_cluster_search:
+        from ..search.profilesearch import (ProfileSearchParams,
+                                            search_profile_target)
+        from ..search.expandaln import ExpandParams, expand_alignments
+        from .clusterdb import cluster_db as build_cluster_db
+        if target_cluster_db is None:
+            target_cluster_db = build_cluster_db(target_db)
+        t0 = time.time()
+        ppar = ProfileSearchParams(
+            sensitivity=par.sensitivity, eval_thr=par.profile_eval_thr,
+            max_res_list_len=par.profile_max_res, cov_thr=par.cov_thr,
+            cov_mode=par.cov_mode, aln_len_thr=par.aln_len_thr,
+            gap_open=par.gap_open, gap_extend=par.gap_extend,
+            mask=par.mask, comp_bias_correction=par.comp_bias_correction)
+        profile_hits = search_profile_target(query_db, target_db,
+                                             target_cluster_db, ppar)
+        timings["profile_search"] = time.time() - t0
+        t0 = time.time()
+        records = expand_alignments(profile_hits, target_cluster_db.clu_aln,
+                                    ExpandParams(eval_thr=par.profile_eval_thr))
+        timings["expandaln"] = time.time() - t0
+    elif par.search_mode == 2:
+        from ..search.structure import StructureSearchParams, structure_search
+        t0 = time.time()
+        # FOLDSEEKSEARCH_PAR forwards only -e/-c/--cov-mode/--max-seqs
+        # (LocalParameters.h foldseeksearch list); sensitivity, gap costs,
+        # and aln-len stay at foldseek defaults
+        spar = StructureSearchParams(
+            max_seqs=par.max_seqs, eval_thr=par.eval_thr,
+            cov_thr=par.cov_thr, cov_mode=par.cov_mode,
+            mask=par.mask,
+            comp_bias_correction=par.comp_bias_correction)
+        records = structure_search(query_db, target_db, spar,
+                                   same_qt_db=same_qt_db)
+        timings["structure_search"] = time.time() - t0
+    else:
+        t0 = time.time()
+        pref = PrefilterEngine(query_db, target_db,
+                               sensitivity=par.sensitivity,
+                               max_seqs=par.max_seqs,
+                               same_qt_db=same_qt_db,
+                               comp_bias_correction=par.comp_bias_correction,
+                               mask=par.mask,
+                               cov_thr=par.cov_thr, cov_mode=par.cov_mode)
+        timings["index"] = time.time() - t0
 
-    t0 = time.time()
-    candidates = {qk: [h.seq_id for h in pref.match_query(qk)]
-                  for qk in range(query_db.size)}
-    timings["prefilter"] = time.time() - t0
+        t0 = time.time()
+        candidates = {qk: [h.seq_id for h in pref.match_query(qk)]
+                      for qk in range(query_db.size)}
+        timings["prefilter"] = time.time() - t0
 
-    t0 = time.time()
-    aln_par = AlignmentParams(gap_open=par.gap_open, gap_extend=par.gap_extend,
-                              eval_thr=par.eval_thr, cov_thr=par.cov_thr,
-                              cov_mode=par.cov_mode,
-                              aln_len_thr=par.aln_len_thr,
-                              comp_bias_correction=par.comp_bias_correction)
-    aln = AlignmentEngine(query_db, target_db, aln_par, same_qt_db=same_qt_db)
-    records = aln.align_all(candidates)
-    timings["align"] = time.time() - t0
+        t0 = time.time()
+        aln_par = AlignmentParams(gap_open=par.gap_open,
+                                  gap_extend=par.gap_extend,
+                                  eval_thr=par.eval_thr, cov_thr=par.cov_thr,
+                                  cov_mode=par.cov_mode,
+                                  aln_len_thr=par.aln_len_thr,
+                                  comp_bias_correction=par.comp_bias_correction)
+        aln = AlignmentEngine(query_db, target_db, aln_par,
+                              same_qt_db=same_qt_db)
+        records = aln.align_all(candidates)
+        timings["align"] = time.time() - t0
 
     # prefixid: records -> prefixed column lines
     t0 = time.time()

@@ -43,6 +43,14 @@ def create_setdb(inputs: list[str], out_path: str | None = None,
                  translation_table: int = 1,
                  file_include: str = ".*",
                  file_exclude: str = "^$") -> SetDB:
+    # pre-built MMseqs2/Foldseek DB input (createsetdb.sh:51-77 "external"
+    # path): copy sequences (+ _ss 3Di sidecar) and rewrite the lookup
+    if len(inputs) == 1 and Path(f"{inputs[0]}.dbtype").exists():
+        from ..db.flatdb_ingest import create_setdb_from_flatdb
+        db = create_setdb_from_flatdb(inputs[0])
+        if out_path is not None:
+            db.save(out_path)
+        return db
     files = expand_inputs(inputs, file_include, file_exclude)
     if not files:
         raise ValueError("no input files after expansion")

@@ -1,0 +1,76 @@
+"""Structure (3Di) search mode: flat-DB ingestion + native foldseek-style
+search over the reference's checked-in examples/foldseek_testdb."""
+
+import numpy as np
+import pytest
+
+from spacedust_tpu.db.flatdb_ingest import create_setdb_from_flatdb
+from spacedust_tpu.search.structure import (StructureSearchParams,
+                                            combined_matrices,
+                                            structure_search)
+from spacedust_tpu.workflow.clustersearch import (ClusterSearchParams,
+                                                  cluster_search)
+
+TESTDB = "/root/reference/examples/foldseek_testdb/foldseek_test"
+
+
+@pytest.fixture(scope="module")
+def full_db():
+    return create_setdb_from_flatdb(TESTDB)
+
+
+@pytest.fixture(scope="module")
+def small_db(full_db):
+    """First 40 genes of each genome (keeps consecutive posIdx runs so
+    neighborhood clustering has material)."""
+    keys = ([k for k in range(full_db.size)
+             if full_db.set_ids[k] == 0][:40]
+            + [k for k in range(full_db.size)
+               if full_db.set_ids[k] == 1][:40])
+    return full_db.subset(keys)
+
+
+def test_flatdb_ingest(full_db):
+    assert full_db.size == 5898
+    assert full_db.num_sets == 2
+    assert full_db.sources == ["NC_000913.faa", "NC_000915.faa"]
+    assert full_db.has_ss
+    # 3Di sidecar is positionally aligned with the residues
+    for k in (0, 1, full_db.size - 1):
+        assert len(full_db.ss_sequence(k)) == len(full_db.sequence(k))
+    # minus-strand genes have start > end in the rewritten names
+    assert any(full_db.starts[k] > full_db.ends[k]
+               for k in range(full_db.size))
+    # posIdx increases within a set (version-sorted accession order)
+    set0 = [k for k in range(full_db.size) if full_db.set_ids[k] == 0]
+    pos = full_db.pos_idx[set0]
+    assert (np.diff(np.sort(pos)) >= 0).all() and pos.min() == 0
+
+
+def test_combined_matrix_stats():
+    m3di, aa_scaled, gumbel = combined_matrices()
+    assert m3di.shape == (21, 21) and aa_scaled.shape == (21, 21)
+    assert (m3di == m3di.T).all()
+    assert 0.05 < gumbel.lam < 1.0
+
+
+def test_structure_search_self(small_db):
+    recs = structure_search(small_db, small_db)
+    # every gene finds itself with full identity
+    found_self = sum(1 for qk in range(small_db.size)
+                     for r in recs[qk]
+                     if r.tkey == qk and r.seq_id == 1.0)
+    assert found_self == small_db.size
+    # records are well-formed (coords, cigar, E-values)
+    some = [r for qk in range(small_db.size) for r in recs[qk]]
+    assert all(r.evalue <= 10.0 for r in some)
+    assert all(r.backtrace for r in some)
+
+
+def test_clustersearch_search_mode_2(small_db):
+    par = ClusterSearchParams(filter_self_match=True, search_mode=2)
+    res = cluster_search(small_db, small_db, par)
+    # the two proteomes share conserved neighborhoods even in this slice
+    assert isinstance(res.tsv, str)
+    for cl in res.clusters:
+        assert len(cl.hits) >= 2
