@@ -48,6 +48,12 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mask", type=int, default=1)
     p.add_argument("--comp-bias-corr", type=int, default=1)
     p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--search-mode", type=int, default=0,
+                   help="0: sequence, 1: foldseek-mapped structure + "
+                        "unmapped sequence, 2: structure (3Di) search")
+    p.add_argument("--foldseek-db",
+                   help="aa2foldseek output dir of the query/target "
+                        "(search-mode 1; default <db>_foldseek)")
     p.add_argument("--profile-cluster-search", action="store_true")
     p.add_argument("--cluster-db",
                    help="precomputed clusterdb dir of the target "
@@ -93,14 +99,23 @@ def cmd_clustersearch(argv: list[str]) -> int:
         max_gene_gaps=a.max_gene_gap, cluster_size=a.cluster_size,
         p_clu_thr=a.cluster_pval, p_mh_thr=a.multihit_pval,
         mask=bool(a.mask), comp_bias_correction=bool(a.comp_bias_corr),
-        profile_cluster_search=a.profile_cluster_search)
+        profile_cluster_search=a.profile_cluster_search,
+        search_mode=a.search_mode)
     cdb = None
     if a.profile_cluster_search:
         from .workflow.clusterdb import cluster_db_cached
         cdb = cluster_db_cached(tdb, a.cluster_db or (a.target_db + "_clu"))
+    qmap = tmap = None
+    if a.search_mode == 1:
+        from .workflow.aa2foldseek import load_mapping
+        qmap = load_mapping(a.foldseek_db
+                            or (a.query_db.rstrip("/") + "_foldseek"))
+        tmap = (qmap if a.target_db == a.query_db
+                else load_mapping(a.target_db.rstrip("/") + "_foldseek"))
     t0 = time.time()
     res = cluster_search_to_file(qdb, tdb, a.output, a.tmp_dir, params=params,
-                                 target_cluster_db=cdb)
+                                 target_cluster_db=cdb,
+                                 query_mapping=qmap, target_mapping=tmap)
     n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
     n_clusters = sum(1 for ln in res.tsv.splitlines() if ln.startswith("#"))
     print(f"clustersearch: {n_clusters} clusters / {n_hits} hits "

@@ -76,11 +76,14 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                    params: ClusterSearchParams | None = None,
                    same_qt_db: bool | None = None,
                    target_cluster_db=None,
+                   query_mapping=None, target_mapping=None,
                    progress: bool = False) -> ClusterSearchResult:
     """`target_cluster_db`: a workflow.clusterdb.ClusterDB of the target
     (required for --profile-cluster-search, mirroring the reference's
     precomputed TARGET_clu_rep_profile/_clu_aln sidecars,
-    data/clustersearch.sh:69-80)."""
+    data/clustersearch.sh:69-80). `query_mapping`/`target_mapping`:
+    workflow.aa2foldseek.FoldseekMapping artifacts (required for
+    --search-mode 1, the reference's *_foldseek/_unmapped sidecars)."""
     par = params or ClusterSearchParams()
     if same_qt_db is None:
         same_qt_db = query_db is target_db
@@ -107,6 +110,50 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         records = expand_alignments(profile_hits, target_cluster_db.clu_aln,
                                     ExpandParams(eval_thr=par.profile_eval_thr))
         timings["expandaln"] = time.time() - t0
+    elif par.search_mode == 1:
+        # foldseek search of the aa2foldseek-mapped subset + sequence
+        # search of the unmapped genes vs the full target, concatenated
+        # per query key (data/clustersearch.sh:84-107)
+        from ..search.structure import StructureSearchParams, structure_search
+        if query_mapping is None or target_mapping is None:
+            raise ValueError("--search-mode 1 requires aa2foldseek mappings "
+                             "for query and target (see workflow.aa2foldseek)")
+        t0 = time.time()
+        q_att = query_mapping.attach(query_db)
+        t_att = (q_att if (same_qt_db and target_mapping is query_mapping)
+                 else target_mapping.attach(target_db))
+        spar = StructureSearchParams(
+            max_seqs=par.max_seqs, eval_thr=par.eval_thr,
+            cov_thr=par.cov_thr, cov_mode=par.cov_mode,
+            mask=par.mask,
+            comp_bias_correction=par.comp_bias_correction)
+        fs_records = structure_search(q_att, t_att, spar,
+                                      same_qt_db=same_qt_db)
+        mapped = set(query_mapping.mapping)
+        records = {qk: v for qk, v in fs_records.items() if qk in mapped}
+        timings["structure_search"] = time.time() - t0
+
+        t0 = time.time()
+        unmapped = query_mapping.unmapped_keys(query_db)
+        if unmapped:
+            pref = PrefilterEngine(query_db, target_db,
+                                   sensitivity=par.sensitivity,
+                                   max_seqs=par.max_seqs,
+                                   same_qt_db=same_qt_db,
+                                   comp_bias_correction=par.comp_bias_correction,
+                                   mask=par.mask,
+                                   cov_thr=par.cov_thr, cov_mode=par.cov_mode)
+            cands = {qk: [h.seq_id for h in pref.match_query(qk)]
+                     for qk in unmapped}
+            aln_par = AlignmentParams(
+                gap_open=par.gap_open, gap_extend=par.gap_extend,
+                eval_thr=par.eval_thr, cov_thr=par.cov_thr,
+                cov_mode=par.cov_mode, aln_len_thr=par.aln_len_thr,
+                comp_bias_correction=par.comp_bias_correction)
+            eng = AlignmentEngine(query_db, target_db, aln_par,
+                                  same_qt_db=same_qt_db)
+            records.update(eng.align_all(cands))
+        timings["unmapped_search"] = time.time() - t0
     elif par.search_mode == 2:
         from ..search.structure import StructureSearchParams, structure_search
         t0 = time.time()
