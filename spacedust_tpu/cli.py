@@ -337,6 +337,91 @@ def cmd_aa2foldseek(argv: list[str]) -> int:
     return aa2foldseek_cli(argv)
 
 
+def _run_search(qdb, tdb, a, same_qt_db: bool):
+    """Prefilter + align; returns {query_key: [AlnRecord]}."""
+    from .search.alignment import AlignmentEngine, AlignmentParams
+    from .search.prefilter import PrefilterEngine
+    pref = PrefilterEngine(qdb, tdb, sensitivity=a.sensitivity,
+                           max_seqs=a.max_seqs, same_qt_db=same_qt_db,
+                           comp_bias_correction=bool(a.comp_bias_corr),
+                           mask=bool(a.mask),
+                           cov_thr=a.cov_thr, cov_mode=a.cov_mode)
+    cands = {qk: [h.seq_id for h in pref.match_query(qk)]
+             for qk in range(qdb.size)}
+    aln_par = AlignmentParams(gap_open=a.gap_open, gap_extend=a.gap_extend,
+                              eval_thr=a.eval_thr, cov_thr=a.cov_thr,
+                              cov_mode=a.cov_mode, aln_len_thr=a.aln_len_thr,
+                              comp_bias_correction=bool(a.comp_bias_corr))
+    eng = AlignmentEngine(qdb, tdb, aln_par, same_qt_db=same_qt_db)
+    return eng.align_all(cands)
+
+
+def cmd_search(argv: list[str]) -> int:
+    """Standalone homology search (the inherited `mmseqs search` surface,
+    workflow/Search.cpp): setDB x setDB -> alignment records, written as
+    key-prefixed TSV or BLAST-m8 with --format-mode 4."""
+    from .search.convert import DEFAULT_FORMAT, convert_alignments
+    p = argparse.ArgumentParser(prog="spacedust search")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("output")
+    p.add_argument("tmp_dir", nargs="?")
+    p.add_argument("-s", "--sensitivity", type=float, default=5.7)
+    p.add_argument("-e", "--eval-thr", type=float, default=1e-3)
+    p.add_argument("-c", "--cov-thr", type=float, default=0.0)
+    p.add_argument("--cov-mode", type=int, default=0)
+    p.add_argument("--max-seqs", type=int, default=300)
+    p.add_argument("--aln-len", type=int, default=0, dest="aln_len_thr")
+    p.add_argument("--gap-open", type=int, default=11)
+    p.add_argument("--gap-extend", type=int, default=1)
+    p.add_argument("--mask", type=int, default=1)
+    p.add_argument("--comp-bias-corr", type=int, default=1)
+    p.add_argument("--format-mode", type=int, default=0,
+                   help="0: key-prefixed alignment TSV, 4: BLAST-tab "
+                        "with column headers, 1: BLAST-tab")
+    p.add_argument("--format-output", default=DEFAULT_FORMAT)
+    a = p.parse_args(argv)
+    qdb = SetDB.load(a.query_db)
+    tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
+    records = _run_search(qdb, tdb, a, same_qt_db=a.target_db == a.query_db)
+    n = sum(len(v) for v in records.values())
+    if a.format_mode in (1, 4):
+        text = convert_alignments(records, qdb.names, tdb.names,
+                                  a.format_output)
+        if a.format_mode == 4:
+            text = "\t".join(a.format_output.split(",")) + "\n" + text
+        with open(a.output, "w") as fh:
+            fh.write(text)
+    else:
+        _write_prefixed_tsv(a.output,
+                            {qk: [[str(qk)] + r.columns() for r in recs]
+                             for qk, recs in records.items()})
+    print(f"search: {n} alignments -> {a.output}")
+    return 0
+
+
+def cmd_convertalignments(argv: list[str]) -> int:
+    """Key-prefixed alignment TSV -> BLAST-m8
+    (util/convertalignments.cpp)."""
+    from .search.convert import DEFAULT_FORMAT, convert_alignments
+    from .search.records import AlnRecord
+    p = argparse.ArgumentParser(prog="spacedust convertalignments")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_tsv", help="key-prefixed alignment lines")
+    p.add_argument("out_m8")
+    p.add_argument("--format-output", default=DEFAULT_FORMAT)
+    a = p.parse_args(argv)
+    qdb = SetDB.load(a.query_db)
+    tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
+    records = {qk: [AlnRecord.parse("\t".join(cols[1:])) for cols in rows]
+               for qk, rows in _read_prefixed_tsv(a.result_tsv).items()}
+    text = convert_alignments(records, qdb.names, tdb.names, a.format_output)
+    with open(a.out_m8, "w") as fh:
+        fh.write(text)
+    return 0
+
+
 COMMANDS = {
     # the reference's 9 commands (src/spacedust.cpp:26-120)
     "createsetdb": cmd_createsetdb,
@@ -350,12 +435,22 @@ COMMANDS = {
     "clusterhits": cmd_clusterhits,
     # workflow-internal module stage, exposed for interop
     "mergeresultsbyset": cmd_mergeresultsbyset,
+    # inherited base-command surface (hidden in the reference's help,
+    # src/spacedust.cpp:16 hide_base_commands, but callable)
+    "search": cmd_search,
+    "convertalignments": cmd_convertalignments,
 }
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .utils import log
     _configure_platform()
     argv = sys.argv[1:] if argv is None else argv
+    # global -v/--verbosity (Parameters PARAM_V; Debug levels 0..3)
+    if "-v" in argv:
+        i = argv.index("-v")
+        log.set_verbosity(int(argv[i + 1]))
+        argv = argv[:i] + argv[i + 2:]
     if not argv or argv[0] in ("-h", "--help"):
         print("spacedust_tpu — TPU-native gene-cluster discovery\n"
               "commands: " + ", ".join(COMMANDS))
@@ -364,7 +459,10 @@ def main(argv: list[str] | None = None) -> int:
     if cmd not in COMMANDS:
         print(f"unknown command: {cmd}", file=sys.stderr)
         return 1
-    return COMMANDS[cmd](argv[1:])
+    timer = log.Timer()
+    rc = COMMANDS[cmd](argv[1:])
+    log.info(f"Time for processing: {timer.format()}")
+    return rc
 
 
 if __name__ == "__main__":

@@ -21,18 +21,45 @@ from ..constants import encode_aa
 from .setdb import SetDB, DBTYPE_AMINO_ACIDS
 
 
+def _open_maybe_compressed(path: str | Path):
+    """Open FASTA/FASTQ text transparently handling gzip and bzip2 by
+    magic-byte sniffing (KSeqWrapper parity: the reference reads plain,
+    .gz and .bz2 inputs, commons/KSeqWrapper.cpp)."""
+    with open(path, "rb") as probe:
+        magic = probe.read(3)
+    if magic[:2] == b"\x1f\x8b":
+        import gzip
+        return gzip.open(path, "rt")
+    if magic == b"BZh":
+        import bz2
+        return bz2.open(path, "rt")
+    return open(path)
+
+
 def iter_fasta(path: str | Path) -> Iterator[tuple[str, str]]:
-    """Yield (header_without_gt, sequence) preserving file order."""
+    """Yield (header_without_marker, sequence) preserving file order.
+
+    Accepts FASTA ('>' records) and FASTQ ('@' records; the '+' quality
+    section is skipped), plain or gzip/bzip2-compressed — the same input
+    surface as the reference's KSeqWrapper (commons/KSeqWrapper.cpp)."""
     header = None
     chunks: list[str] = []
-    with open(path) as fh:
+    qual_left = -1          # >=0: consuming FASTQ quality characters
+    with _open_maybe_compressed(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
-            if line.startswith(">"):
+            if qual_left > 0:
+                qual_left -= len(line.strip())
+                continue
+            if line.startswith(">") or line.startswith("@"):
                 if header is not None:
                     yield header, "".join(chunks)
                 header = line[1:]
                 chunks = []
+                qual_left = -1
+            elif line.startswith("+") and header is not None:
+                # FASTQ separator: quality section is as long as the seq
+                qual_left = sum(len(c) for c in chunks)
             elif line:
                 chunks.append(line.strip())
     if header is not None:

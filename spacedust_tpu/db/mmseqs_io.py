@@ -68,6 +68,27 @@ class FlatDB:
         return [ln for ln in self.get(key).split("\n") if ln]
 
 
+def write_flatdb(base: str | Path, entries: list[tuple[int, str]],
+                 dbtype: int | None = None) -> None:
+    """Write a flat DB (data + .index [+ .dbtype]) the reference's tools
+    can read (DBWriter semantics: each entry NUL-terminated, entries
+    ending in '\\n' before the NUL; index length includes the NUL,
+    commons/DBWriter.cpp)."""
+    base = Path(base)
+    with open(base, "wb") as data_fh, open(f"{base}.index", "w") as idx_fh:
+        offset = 0
+        for key, text in entries:
+            if text and not text.endswith("\n"):
+                text += "\n"
+            blob = text.encode() + b"\x00"
+            data_fh.write(blob)
+            idx_fh.write(f"{key}\t{offset}\t{len(blob)}\n")
+            offset += len(blob)
+    if dbtype is not None:
+        import struct
+        Path(f"{base}.dbtype").write_bytes(struct.pack("<i", dbtype))
+
+
 def read_lookup(base: str | Path) -> list[tuple[int, str, int]]:
     out = []
     with open(f"{base}.lookup") as fh:
