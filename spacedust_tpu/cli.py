@@ -227,11 +227,15 @@ def cmd_clusterdb(argv: list[str]) -> int:
     p.add_argument("--cov-mode", type=int, default=0)
     p.add_argument("--cluster-mode", type=int, default=0)
     p.add_argument("-s", "--sensitivity", type=float, default=4.0)
+    p.add_argument("--single-step-clustering", type=int, default=1,
+                   help="0: cascaded clustering (linclust pass + "
+                        "sensitivity ramp), 1: one direct round")
     a = p.parse_args(argv)
     db = SetDB.load(a.in_db)
     par = ClusterDBParams(cluster=SeqClusterParams(
         seq_id_thr=a.min_seq_id, cov_thr=a.cov_thr, cov_mode=a.cov_mode,
-        sensitivity=a.sensitivity, mode=a.cluster_mode))
+        sensitivity=a.sensitivity, mode=a.cluster_mode),
+        single_step_clustering=bool(a.single_step_clustering))
     cdb = cluster_db(db, par)
     out = a.out_dir or (a.in_db + "_clu")
     cdb.save(out)

@@ -91,13 +91,21 @@ class ClusterDBParams:
     # result2profile defaults (Parameters.cpp): pca 1.1 pcb 4.1 handled in
     # compute_pssm; _clu_aln align: -a -e 0.001 (align module defaults)
     aln_eval_thr: float = 1e-3
+    # False = the reference's default cascaded `mmseqs cluster` workflow
+    # (linclust pass + sensitivity ramp, cascaded_clustering.sh); True =
+    # one direct round (--single-step-clustering)
+    single_step_clustering: bool = True
 
 
 def cluster_db(db: SetDB, params: ClusterDBParams | None = None,
                clusters: dict[int, list[int]] | None = None) -> ClusterDB:
     par = params or ClusterDBParams()
     if clusters is None:
-        clusters = cluster_sequences(db, par.cluster)
+        if par.single_step_clustering:
+            clusters = cluster_sequences(db, par.cluster)
+        else:
+            from ..cluster.cascade import cascaded_cluster
+            clusters = cascaded_cluster(db, par.cluster)
     rep_keys = sorted(clusters.keys())
     matrix = load_pinned_matrix("blosum62_bf2_bias")
 
