@@ -17,7 +17,8 @@ _DIR = Path(__file__).resolve().parent
 _LIB = None
 
 
-_SOURCES = ["banded_sw.cpp", "tantan.cpp", "simd_helpers.cpp"]
+_SOURCES = ["banded_sw.cpp", "tantan.cpp", "simd_helpers.cpp",
+            "prefilter_engine.cpp"]
 
 
 def _build() -> Path:
@@ -26,7 +27,7 @@ def _build() -> Path:
     out = _DIR / f"_native_{tag}.so"
     if not out.exists():
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
              *[str(s) for s in srcs], "-o", str(out)],
             check=True, capture_output=True)
     return out
@@ -70,6 +71,36 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,       # gap_open, gap_extend
             ctypes.c_int,                     # band_width
             ctypes.c_char_p, ctypes.c_int,    # out, cap
+        ]
+        lib.prefilter_match_batch.restype = ctypes.c_int
+        lib.prefilter_match_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # qdata
+            ctypes.POINTER(ctypes.c_int64),   # qoffs
+            ctypes.POINTER(ctypes.c_int32),   # qlens
+            ctypes.c_int,                     # nq
+            ctypes.POINTER(ctypes.c_int32),   # seed_sub
+            ctypes.POINTER(ctypes.c_double),  # p_back
+            ctypes.c_int, ctypes.c_int,       # nsym, do_bias
+            ctypes.POINTER(ctypes.c_int16),   # sc3
+            ctypes.POINTER(ctypes.c_int16),   # id3
+            ctypes.POINTER(ctypes.c_int32),   # offsets
+            ctypes.POINTER(ctypes.c_int32),   # post_seq
+            ctypes.POINTER(ctypes.c_int32),   # post_pos
+            ctypes.POINTER(ctypes.c_uint8),   # tdata
+            ctypes.POINTER(ctypes.c_int64),   # toffs
+            ctypes.POINTER(ctypes.c_int32),   # tlens
+            ctypes.c_int,                     # nt
+            ctypes.POINTER(ctypes.c_int32),   # ungapped_sub
+            ctypes.c_int, ctypes.c_int,       # alpha, x_index
+            ctypes.c_int, ctypes.c_int,       # kmer_thr, max_seqs
+            ctypes.c_int, ctypes.c_int,       # min_diag_score, bin_count
+            ctypes.c_int,                     # same_db
+            ctypes.c_float, ctypes.c_int,     # cov_thr, cov_mode
+            ctypes.POINTER(ctypes.c_int32),   # out_seq
+            ctypes.POINTER(ctypes.c_int32),   # out_score
+            ctypes.POINTER(ctypes.c_int32),   # out_diag
+            ctypes.POINTER(ctypes.c_int32),   # out_cnt
+            ctypes.POINTER(ctypes.c_int64),   # total_raw_out
         ]
         lib.w_contrib_rcp.restype = None
         lib.w_contrib_rcp.argtypes = [
@@ -157,6 +188,49 @@ def tantan_mask(seq: np.ndarray, ratio: np.ndarray, mask_to: int,
         probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if return_probs
         else ctypes.POINTER(ctypes.c_float)())
     return (out, probs) if return_probs else out
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
+                          sc3, id3, offsets, post_seq, post_pos,
+                          tdata, toffs, tlens, ungapped_sub, x_index,
+                          kmer_thr, max_seqs, min_diag_score, bin_count,
+                          same_db, cov_thr, cov_mode):
+    """OpenMP k-mer prefilter over a query batch (see prefilter_engine.cpp).
+
+    Returns (out_seq, out_score, out_diag, out_cnt, total_raw): per query
+    qi the hits are rows [qi*max_seqs : qi*max_seqs+out_cnt[qi]].
+    """
+    lib = get_lib()
+    nq = len(qlens)
+    nt = len(tlens)
+    out_seq = np.empty(nq * max_seqs, dtype=np.int32)
+    out_score = np.empty(nq * max_seqs, dtype=np.int32)
+    out_diag = np.empty(nq * max_seqs, dtype=np.int32)
+    out_cnt = np.zeros(nq, dtype=np.int32)
+    total_raw = ctypes.c_int64(0)
+    rc = lib.prefilter_match_batch(
+        _ptr(qdata, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
+        _ptr(qlens, ctypes.c_int32), nq,
+        _ptr(seed_sub, ctypes.c_int32), _ptr(p_back, ctypes.c_double),
+        seed_sub.shape[0], int(do_bias),
+        _ptr(sc3, ctypes.c_int16), _ptr(id3, ctypes.c_int16),
+        _ptr(offsets, ctypes.c_int32), _ptr(post_seq, ctypes.c_int32),
+        _ptr(post_pos, ctypes.c_int32),
+        _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
+        _ptr(tlens, ctypes.c_int32), nt,
+        _ptr(ungapped_sub, ctypes.c_int32), ungapped_sub.shape[0],
+        int(x_index), int(kmer_thr), int(max_seqs), int(min_diag_score),
+        int(bin_count), int(same_db), float(cov_thr), int(cov_mode),
+        _ptr(out_seq, ctypes.c_int32), _ptr(out_score, ctypes.c_int32),
+        _ptr(out_diag, ctypes.c_int32), _ptr(out_cnt, ctypes.c_int32),
+        ctypes.byref(total_raw))
+    if rc != 0:
+        raise RuntimeError(f"prefilter_match_batch failed: {rc}")
+    return out_seq, out_score, out_diag, out_cnt, int(total_raw.value)
 
 
 def w_contrib_rcp(n: np.ndarray, naa: np.ndarray) -> np.ndarray:

@@ -1,0 +1,366 @@
+// Native k-mer prefilter match engine (OpenMP over queries).
+//
+// Exact-semantics port of search/prefilter.py's host engine, which is
+// bit-parity-verified against the reference prefilter
+// (lib/mmseqs/src/prefiltering/QueryMatcher.cpp:85-346,
+//  CacheFriendlyOperations.cpp:193-208, UngappedAlignment.cpp:331-362).
+//
+// Why native and not a device kernel: the k-mer stage is a random-access
+// join against a 64M-entry posting-offset table (measured ~670M lookups
+// for the bundled regression).  Measured TPU gather throughput through
+// XLA on this hardware is ~50M random gathers/s, so the lookup stage is
+// latency-bound, not FLOP-bound — the wrong shape for the MXU/VPU.  The
+// TPU owns the DP scoring stages (batched Smith-Waterman in ops/); this
+// engine owns the pointer-chasing, mirroring the reference's split
+// (SIMD prefilter on CPU cores feeding the alignment stage).
+//
+// Layout contract (see native/__init__.py::prefilter_match_batch):
+//   seed tables   : sc3/id3 are the (8000, 8000) int16 sorted 3-mer
+//                   product tables (ExtendedSubstitutionMatrix).
+//   posting index : offsets int32[20^6+1]; post_seq/post_pos int32[N].
+//   outputs       : per query <= max_seqs rows of (seq, score, diag).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int kPartPow = 8000;       // 20^3
+constexpr int kSpan = 10;            // spaced pattern span
+constexpr int kK = 6;
+constexpr int kPattern[kK] = {0, 1, 3, 5, 8, 9};
+
+struct Match {
+  int32_t seq;
+  uint16_t diag;
+};
+
+struct Cand {
+  int32_t seq;
+  uint16_t diag;
+  int32_t arrival;   // global match-stream index
+  int32_t score;     // clamped (<=255)
+  int32_t raw;       // unclamped Kadane score
+};
+
+// count of entries >= cutoff in a descending int16 row of kPartPow
+inline int count_ge(const int16_t* row, int cutoff) {
+  int lo = 0, hi = kPartPow;
+  while (lo < hi) {
+    int mid = (lo + hi) >> 1;
+    if (static_cast<int>(row[mid]) >= cutoff) lo = mid + 1; else hi = mid;
+  }
+  return lo;
+}
+
+// SubstitutionMatrix::calcLocalAaBiasCorrection, bit-exact float32 chain
+// (lib/mmseqs/src/commons/SubstitutionMatrix.cpp:79-109); mirrors
+// stats/submat.py::local_aa_bias_correction step for step.
+void local_bias_f32(const uint8_t* seq, int n, const int32_t* sub, int nsym,
+                    const double* p_back, float* out) {
+  constexpr int kHalf = 20;
+  std::vector<int32_t> cnt(nsym, 0);
+  int lo = 0, hi = std::min(n, kHalf);   // window [lo, hi) for i = 0
+  for (int j = lo; j < hi; ++j) ++cnt[seq[j]];
+  for (int i = 0; i < n; ++i) {
+    const int nlo = std::max(0, i - kHalf);
+    const int nhi = std::min(n, i + kHalf);
+    while (lo < nlo) --cnt[seq[lo++]];
+    while (hi < nhi) ++cnt[seq[hi++]];
+    const int32_t* row = sub + seq[i] * nsym;
+    int64_t sum_sub = 0;
+    for (int a = 0; a < nsym; ++a)
+      sum_sub += static_cast<int64_t>(row[a]) * cnt[a];
+    sum_sub -= row[seq[i]];               // exclude own position
+    const double win_len = static_cast<double>(nhi - nlo);
+    float delta = static_cast<float>(
+        static_cast<double>(static_cast<float>(sum_sub)) / (-win_len));
+    for (int a = 0; a < nsym; ++a)
+      delta = static_cast<float>(static_cast<double>(delta) +
+                                 p_back[a] * static_cast<double>(row[a]));
+    out[i] = delta;                        // scale == 1.0
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success.
+int prefilter_match_batch(
+    // queries (tokens, concatenated); composition bias computed in-engine
+    const uint8_t* qdata, const int64_t* qoffs, const int32_t* qlens, int nq,
+    const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
+    // seed tables
+    const int16_t* sc3, const int16_t* id3,
+    // posting index
+    const int32_t* offsets, const int32_t* post_seq, const int32_t* post_pos,
+    // masked target residues (for the ungapped rescore)
+    const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
+    // ungapped scoring matrix, row-major (alpha x alpha) int32
+    const int32_t* ungapped_sub, int alpha, int x_index,
+    // parameters
+    int kmer_thr, int max_seqs, int min_diag_score, int bin_count,
+    int same_db, float cov_thr, int cov_mode,
+    // outputs
+    int32_t* out_seq, int32_t* out_score, int32_t* out_diag, int32_t* out_cnt,
+    int64_t* total_raw_out) {
+  const int bin_mask = bin_count - 1;
+  int64_t total_raw = 0;
+
+#pragma omp parallel reduction(+ : total_raw)
+  {
+    std::vector<Match> matches;
+    std::vector<int32_t> gen_kmers;
+    std::vector<int32_t> grp_count(nt, 0);
+    std::vector<int32_t> grp_pos(nt + 1, 0);
+    std::vector<int32_t> grouped;          // match indices grouped by seq
+    std::vector<Cand> cands;
+    std::vector<Cand> sel;
+    std::vector<int32_t> profile;          // L x alpha int32
+    std::vector<float> bias_buf;
+
+#pragma omp for schedule(dynamic, 8)
+    for (int qi = 0; qi < nq; ++qi) {
+      const uint8_t* q = qdata + qoffs[qi];
+      const int L = qlens[qi];
+      bias_buf.assign(L, 0.0f);
+      if (do_bias)
+        local_bias_f32(q, L, seed_sub, nsym, p_back, bias_buf.data());
+      const float* bias = bias_buf.data();
+      matches.clear();
+      cands.clear();
+      sel.clear();
+
+      // ---- per-window similar-k-mer generation + posting lookups ----
+      const int nw = L - kSpan + 1;
+      for (int w = 0; w < nw; ++w) {
+        // spaced k-mer residues; X excluded (Prefiltering.cpp:530-533)
+        int r[kK];
+        bool ok = true;
+        for (int k = 0; k < kK; ++k) {
+          r[k] = q[w + kPattern[k]];
+          if (r[k] == x_index) { ok = false; }
+        }
+        if (!ok) continue;
+        // f32 sequential bias sum, C double +/-0.5 trunc
+        // (QueryMatcher.cpp:230-236)
+        float b = 0.0f;
+        for (int k = 0; k < kK; ++k) b += bias[w + kPattern[k]];
+        double bd = static_cast<double>(b);
+        int16_t biasv =
+            static_cast<int16_t>(bd < 0.0 ? bd - 0.5 : bd + 0.5);
+        int thr = kmer_thr - biasv;
+        if (thr < 0) thr = 0;
+
+        const int part0 = r[0] + 20 * r[1] + 400 * r[2];
+        const int part1 = r[3] + 20 * r[4] + 400 * r[5];
+        const int16_t* s0 = sc3 + static_cast<int64_t>(part0) * kPartPow;
+        const int16_t* s1 = sc3 + static_cast<int64_t>(part1) * kPartPow;
+        const int16_t* i0 = id3 + static_cast<int64_t>(part0) * kPartPow;
+        const int16_t* i1 = id3 + static_cast<int64_t>(part1) * kPartPow;
+        const int best1 = s1[0];
+        const int n0 = count_ge(s0, thr - best1);
+        if (n0 == 0) continue;
+
+        gen_kmers.clear();
+        for (int i = 0; i < n0; ++i) {
+          const int cut = thr - s0[i];
+          const int n1 = count_ge(s1, cut);
+          const int32_t base = i0[i];
+          for (int j = 0; j < n1; ++j) {
+            gen_kmers.push_back(base + static_cast<int32_t>(i1[j]) * kPartPow);
+          }
+        }
+
+        // posting lookups with software prefetch (random 256 MB table)
+        const size_t ng = gen_kmers.size();
+        constexpr size_t kAhead = 16;
+        for (size_t t = 0; t < ng; ++t) {
+          if (t + kAhead < ng)
+            __builtin_prefetch(&offsets[gen_kmers[t + kAhead]]);
+          const int32_t km = gen_kmers[t];
+          const int32_t lo = offsets[km];
+          const int32_t hi = offsets[km + 1];
+          for (int32_t p = lo; p < hi; ++p) {
+            matches.push_back(
+                {post_seq[p],
+                 static_cast<uint16_t>(w - post_pos[p])});
+          }
+        }
+      }
+      total_raw += static_cast<int64_t>(matches.size());
+
+      // ---- double-diagonal detection (CacheFriendlyOperations) ----
+      // counting sort by seq, stable in arrival order
+      const int nm = static_cast<int>(matches.size());
+      std::vector<int32_t> touched;
+      for (int m = 0; m < nm; ++m) {
+        if (grp_count[matches[m].seq]++ == 0) touched.push_back(matches[m].seq);
+      }
+      std::sort(touched.begin(), touched.end());
+      {
+        int32_t run = 0;
+        for (int32_t s : touched) {
+          grp_pos[s] = run;
+          run += grp_count[s];
+        }
+      }
+      grouped.resize(nm);
+      for (int m = 0; m < nm; ++m) grouped[grp_pos[matches[m].seq]++] = m;
+      // grp_pos[s] now points one past the end of group s
+
+      std::vector<uint16_t> seen_diag;
+      int gstart = 0;
+      for (int32_t s : touched) {
+        const int gend = grp_pos[s];
+        // phase 1: arrival-ordered detection with the zero-init quirk
+        // phase 2: drop consecutive same-diag8 detections
+        // phase 3: dedup (seq, diag16), first occurrence wins
+        seen_diag.clear();
+        int prev8 = 0;           // zero-init quirk: first hit on diag8==0 counts
+        bool first = true;
+        int prev_det8 = -1;
+        for (int g = gstart; g < gend; ++g) {
+          const Match& mm = matches[grouped[g]];
+          const int d8 = mm.diag & 0xFF;
+          const bool detected = first ? (d8 == 0) : (d8 == prev8);
+          prev8 = d8;
+          first = false;
+          if (!detected) continue;
+          const bool keep = (prev_det8 == -1) || (d8 != prev_det8);
+          prev_det8 = d8;
+          if (!keep) continue;
+          bool dup = false;
+          for (uint16_t sd : seen_diag)
+            if (sd == mm.diag) { dup = true; break; }
+          if (dup) continue;
+          seen_diag.push_back(mm.diag);
+          cands.push_back({s, mm.diag, grouped[g], 0, 0});
+        }
+        gstart = gend;
+        grp_count[s] = 0;        // reset scratch for next query
+      }
+
+      // ---- ungapped Kadane rescore (UngappedAlignment semantics) ----
+      if (!cands.empty()) {
+        profile.assign(static_cast<size_t>(L) * alpha, 0);
+        for (int i = 0; i < L; ++i) {
+          const int32_t* row = ungapped_sub + q[i] * alpha;
+          double corr = static_cast<double>(bias[i]) / 4.0;
+          int8_t c8 =
+              static_cast<int8_t>(corr < 0.0 ? corr - 0.5 : corr + 0.5);
+          int32_t* dst = &profile[static_cast<size_t>(i) * alpha];
+          for (int a = 0; a < alpha; ++a) dst[a] = row[a] + c8;
+        }
+        for (Cand& c : cands) {
+          const uint16_t d16 = c.diag;
+          const uint16_t neg = static_cast<uint16_t>(0 - d16);
+          const int min_dist = std::min<int>(neg, d16);
+          const int tl = tlens[c.seq];
+          const bool pos_diag = d16 < 0x8000;
+          int seg, q_off, t_off;
+          if (pos_diag) {
+            seg = (min_dist < L) ? std::min(tl, L - min_dist) : 0;
+            q_off = min_dist;
+            t_off = 0;
+          } else {
+            seg = (min_dist < tl) ? std::min(tl - min_dist, L) : 0;
+            q_off = 0;
+            t_off = min_dist;
+          }
+          const uint8_t* t = tdata + toffs[c.seq] + t_off;
+          int32_t cur = 0, best = 0;
+          for (int k = 0; k < seg; ++k) {
+            cur += profile[static_cast<size_t>(q_off + k) * alpha + t[k]];
+            if (cur < 0) cur = 0;
+            if (cur > best) best = cur;
+          }
+          c.raw = best;
+          c.score = best > 255 ? 255 : best;
+        }
+      }
+
+      // ---- per-target max (keepMaxElement: first max in arrival order) ----
+      for (size_t i = 0; i < cands.size();) {
+        size_t j = i;
+        size_t bi = i;
+        for (; j < cands.size() && cands[j].seq == cands[i].seq; ++j)
+          if (cands[j].score > cands[bi].score) bi = j;
+        sel.push_back(cands[bi]);
+        i = j;
+      }
+
+      // ---- detection-stream order: (seq & bin_mask, arrival) ----
+      std::sort(sel.begin(), sel.end(), [bin_mask](const Cand& a, const Cand& b) {
+        const int ba = a.seq & bin_mask, bb = b.seq & bin_mask;
+        if (ba != bb) return ba < bb;
+        return a.arrival < b.arrival;
+      });
+
+      // ---- histogram score threshold (computeScoreThreshold) ----
+      int hist[256];
+      std::memset(hist, 0, sizeof(hist));
+      for (const Cand& c : sel) ++hist[c.score];
+      int thr_score = 0, found = 0;
+      for (int t = 255; t > 0; --t) {
+        found += hist[t];
+        if (found >= max_seqs) { thr_score = t; break; }
+      }
+      if (thr_score < min_diag_score) thr_score = min_diag_score;
+
+      // ---- stable desc sort by clamped score, emit with --max-seqs cap ----
+      std::stable_sort(sel.begin(), sel.end(),
+                       [](const Cand& a, const Cand& b) {
+                         return a.score > b.score;
+                       });
+      int32_t* oseq = out_seq + static_cast<int64_t>(qi) * max_seqs;
+      int32_t* osco = out_score + static_cast<int64_t>(qi) * max_seqs;
+      int32_t* odia = out_diag + static_cast<int64_t>(qi) * max_seqs;
+      int cnt = 0;
+      const int identity = same_db ? qi : -1;
+      const float qlen_f = static_cast<float>(L);
+      auto cov_ok = [&](int sid) {
+        if (cov_thr <= 0.0f ||
+            (cov_mode != 0 && cov_mode != 2 && cov_mode != 5))
+          return true;
+        const float tlen_f = static_cast<float>(tlens[sid]);
+        if (cov_mode == 0)
+          return qlen_f / tlen_f >= cov_thr && tlen_f / qlen_f >= cov_thr;
+        if (cov_mode == 2) return tlen_f / qlen_f >= cov_thr;
+        return std::min(tlen_f, qlen_f) / std::max(tlen_f, qlen_f) >= cov_thr;
+      };
+      int emitted = 0;  // counts toward max_seqs BEFORE the coverage filter
+      if (identity >= 0) {
+        ++emitted;
+        if (cov_ok(identity)) {
+          oseq[cnt] = identity;
+          osco[cnt] = 65535;
+          odia[cnt] = 0;
+          ++cnt;
+        }
+      }
+      for (const Cand& c : sel) {
+        if (emitted >= max_seqs) break;
+        if (c.score < thr_score || c.seq == identity) continue;
+        ++emitted;
+        if (!cov_ok(c.seq)) continue;
+        oseq[cnt] = c.seq;
+        osco[cnt] = c.score >= 255 ? c.raw : c.score;
+        odia[cnt] = c.diag;
+        ++cnt;
+      }
+      out_cnt[qi] = cnt;
+    }
+  }
+  if (total_raw_out) *total_raw_out = total_raw;
+  return 0;
+}
+
+}  // extern "C"

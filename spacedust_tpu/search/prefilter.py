@@ -100,39 +100,61 @@ class SeedTables:
     """Sorted 3-mer score tables (ExtendedSubstitutionMatrix equivalent)."""
     scores: np.ndarray   # (8000, 8000) int16, per row sorted desc
     idx: np.ndarray      # (8000, 8000) int16, 3-mer indices per sorted row
-    neg_flat: np.ndarray = None  # (-scores + row*2^20).ravel(), for row-wise searchsorted
+    neg_flat: np.ndarray = None  # (-scores + row*2^20).ravel(), lazy (host engine only)
+
+    def _neg_flat(self) -> np.ndarray:
+        if self.neg_flat is None:
+            self.neg_flat = (
+                -np.asarray(self.scores).astype(np.int64)
+                + np.arange(PART_POW, dtype=np.int64)[:, None] * _ROW_BIG).ravel()
+        return self.neg_flat
 
     def count_ge(self, rows: np.ndarray, cutoffs: np.ndarray) -> np.ndarray:
         """Per (row, cutoff) pair: how many entries of scores[row] are >= cutoff."""
         keys = rows.astype(np.int64) * _ROW_BIG + (-cutoffs.astype(np.int64))
-        pos = np.searchsorted(self.neg_flat, keys, side="right")
+        pos = np.searchsorted(self._neg_flat(), keys, side="right")
         return (pos - rows.astype(np.int64) * PART_POW).astype(np.int64)
 
 
 @lru_cache(maxsize=4)
 def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
-    m = load_pinned_matrix(matrix_name)
-    sub = m.sub_int[:SEED_ALPHA, :SEED_ALPHA].astype(np.int32)
-    # scores3[(x0,x1,x2),(y0,y1,y2)] = sub[x0,y0]+sub[x1,y1]+sub[x2,y2]
-    # with index packing idx = x0 + 20*x1 + 400*x2 (Indexer.h:21-35)
-    one = np.ones((SEED_ALPHA, SEED_ALPHA), dtype=np.int32)
-    t0 = np.kron(one, np.kron(one, sub))          # x0,y0 fastest dim
-    t1 = np.kron(one, np.kron(sub, one))
-    t2 = np.kron(sub, np.kron(one, one))
-    scores3 = (t0 + t1 + t2).astype(np.int16)     # (8000, 8000)
-    # tie order: the reference stable-sorts in cartesian-product order,
-    # i.e. lexicographic in (x0,x1,x2) — the digit-REVERSED packing
-    # (ExtendedSubstitutionMatrix.cpp:38-56)
-    j = np.arange(PART_POW)
-    rev = ((j % SEED_ALPHA) * 400 + ((j // SEED_ALPHA) % SEED_ALPHA) * SEED_ALPHA
-           + j // 400)
-    order = np.empty((PART_POW, PART_POW), dtype=np.int16)
-    for r in range(PART_POW):
-        order[r] = np.lexsort((rev, -scores3[r].astype(np.int32))).astype(np.int16)
-    sorted_scores = np.take_along_axis(scores3, order.astype(np.int64), axis=1)
-    neg_flat = (-sorted_scores.astype(np.int64)
-                + np.arange(PART_POW, dtype=np.int64)[:, None] * _ROW_BIG).ravel()
-    return SeedTables(scores=sorted_scores, idx=order, neg_flat=neg_flat)
+    from ..utils.cache import artifact_path
+    sc_path = artifact_path(f"seed3_{matrix_name}_scores.npy")
+    id_path = artifact_path(f"seed3_{matrix_name}_idx.npy")
+    if sc_path.exists() and id_path.exists():
+        sorted_scores = np.load(sc_path, mmap_mode="r")
+        order = np.load(id_path, mmap_mode="r")
+    else:
+        m = load_pinned_matrix(matrix_name)
+        sub = m.sub_int[:SEED_ALPHA, :SEED_ALPHA].astype(np.int32)
+        # scores3[(x0,x1,x2),(y0,y1,y2)] = sub[x0,y0]+sub[x1,y1]+sub[x2,y2]
+        # with index packing idx = x0 + 20*x1 + 400*x2 (Indexer.h:21-35)
+        one = np.ones((SEED_ALPHA, SEED_ALPHA), dtype=np.int32)
+        t0 = np.kron(one, np.kron(one, sub))          # x0,y0 fastest dim
+        t1 = np.kron(one, np.kron(sub, one))
+        t2 = np.kron(sub, np.kron(one, one))
+        scores3 = t0 + t1 + t2                        # (8000, 8000) int32
+        # tie order: the reference stable-sorts in cartesian-product order,
+        # i.e. lexicographic in (x0,x1,x2) — the digit-REVERSED packing
+        # (ExtendedSubstitutionMatrix.cpp:38-56). rev is a bijection on
+        # 0..7999, so the composite (-score, rev) key is unique and a plain
+        # unstable argsort reproduces lexsort((rev, -score)) exactly.
+        j = np.arange(PART_POW, dtype=np.int32)
+        rev = ((j % SEED_ALPHA) * 400
+               + ((j // SEED_ALPHA) % SEED_ALPHA) * SEED_ALPHA + j // 400)
+        key = (-scores3 << 13) + rev[None, :]
+        order = np.argsort(key, axis=1, kind="quicksort").astype(np.int16)
+        sorted_scores = np.take_along_axis(
+            scores3.astype(np.int16), order.astype(np.int64), axis=1)
+        tmp_sc = sc_path.with_suffix(".tmp.npy")
+        tmp_id = id_path.with_suffix(".tmp.npy")
+        np.save(tmp_sc, sorted_scores)
+        np.save(tmp_id, order)
+        tmp_sc.rename(sc_path)
+        tmp_id.rename(id_path)
+        sorted_scores = np.load(sc_path, mmap_mode="r")
+        order = np.load(id_path, mmap_mode="r")
+    return SeedTables(scores=sorted_scores, idx=order)
 
 
 def spaced_kmers(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -218,6 +240,7 @@ class KmerIndex:
         counts = np.bincount(self.kmers, minlength=SEED_ALPHA ** KMER_SIZE)
         self.offsets = np.concatenate(
             ([0], np.cumsum(counts, dtype=np.int64)))
+        self.offsets32 = self.offsets.astype(np.int32)
 
         # concatenated masked target residues for vectorized rescore
         lens = np.array([len(s) for s in self.masked], dtype=np.int64)
@@ -419,6 +442,67 @@ class PrefilterEngine:
         if not hit_seqs:
             return empty
         return np.concatenate(hit_seqs), np.concatenate(hit_diags)
+
+    def match_all(self, qkeys: list[int] | None = None
+                  ) -> dict[int, list[PrefilterHit]]:
+        """Batch prefilter over many queries via the native OpenMP engine
+        (native/prefilter_engine.cpp) — semantics identical to
+        match_query (tested by tests/test_prefilter_native.py).  Profile
+        queries fall back to the per-query host path."""
+        if qkeys is None:
+            qkeys = list(range(self.qdb.size))
+        seq_keys = [qk for qk in qkeys if qk not in self.query_profiles]
+        out: dict[int, list[PrefilterHit]] = {}
+        for qk in qkeys:
+            if qk in self.query_profiles:
+                out[qk] = self.match_query(qk)
+        if not seq_keys:
+            return out
+        # `same_db` identity semantics require query index == target key,
+        # which holds only for the full-range self-search batch
+        contiguous = (self.same_qt_db and len(seq_keys) == self.qdb.size
+                      and seq_keys == list(range(self.qdb.size)))
+        if not contiguous and self.same_qt_db:
+            for qk in seq_keys:
+                out[qk] = self.match_query(qk)
+            return out
+        from ..native import prefilter_match_batch
+        qdb = self.qdb
+        if seq_keys == list(range(qdb.size)):
+            qdata = np.ascontiguousarray(qdb.seq_data, dtype=np.uint8)
+            qoffs = np.ascontiguousarray(qdb.offsets[:-1], dtype=np.int64)
+            qlens = np.ascontiguousarray(qdb.lengths, dtype=np.int32)
+        else:
+            seqs = [qdb.sequence(qk) for qk in seq_keys]
+            qdata = (np.concatenate(seqs).astype(np.uint8) if seqs
+                     else np.empty(0, np.uint8))
+            qlens = np.array([len(s) for s in seqs], dtype=np.int32)
+            qoffs = np.concatenate(
+                ([0], np.cumsum(qlens, dtype=np.int64)))[:-1]
+        idx = self.index
+        o_seq, o_score, o_diag, o_cnt, _raw = prefilter_match_batch(
+            qdata, qoffs, qlens,
+            np.ascontiguousarray(self.seed.sub_int, dtype=np.int32),
+            np.ascontiguousarray(self.seed.p_back, dtype=np.float64),
+            self.comp_bias,
+            np.ascontiguousarray(self.tables.scores, dtype=np.int16),
+            np.ascontiguousarray(self.tables.idx, dtype=np.int16),
+            idx.offsets32, np.ascontiguousarray(idx.seq_ids, dtype=np.int32),
+            np.ascontiguousarray(idx.positions, dtype=np.int32),
+            np.ascontiguousarray(idx.t_data, dtype=np.uint8),
+            np.ascontiguousarray(idx.t_offsets, dtype=np.int64),
+            np.ascontiguousarray(self._tlens, dtype=np.int32),
+            np.ascontiguousarray(self.ungapped.sub_int, dtype=np.int32),
+            X_INDEX, self.kmer_thr, self.max_seqs, self.min_diag_score,
+            self._bin_count, self.same_qt_db, self.cov_thr, self.cov_mode)
+        for bi, qk in enumerate(seq_keys):
+            n = int(o_cnt[bi])
+            base = bi * self.max_seqs
+            out[qk] = [PrefilterHit(seq_id=int(o_seq[base + i]),
+                                    score=int(o_score[base + i]),
+                                    diagonal=int(o_diag[base + i]))
+                       for i in range(n)]
+        return out
 
     def match_query(self, qkey: int) -> list[PrefilterHit]:
         qseq = self.qdb.sequence(qkey)

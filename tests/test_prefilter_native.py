@@ -1,0 +1,61 @@
+"""Native (C++/OpenMP) prefilter engine vs the host numpy reference path.
+
+The numpy path in search/prefilter.py is bit-parity-verified against the
+reference prefilter oracle (tests/test_prefilter.py); this locks the
+native batch engine (native/prefilter_engine.cpp) to it hit-for-hit,
+including composition-bias thresholds, double-diagonal arrival-order
+semantics, rescore values, and the --max-seqs histogram cap.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from spacedust_tpu.db.setdb import SetDB
+from spacedust_tpu.search.prefilter import PrefilterEngine
+from spacedust_tpu.workflow.createsetdb import create_setdb
+
+REF_FAA = "/root/reference/examples/NC_000913.faa"
+
+
+def _mini_db(n=120) -> SetDB:
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "mini.faa")
+    with open(REF_FAA) as f, open(p, "w") as o:
+        count = 0
+        for line in f:
+            if line.startswith(">"):
+                count += 1
+                if count > n:
+                    break
+            o.write(line)
+    return create_setdb([p])
+
+
+@pytest.fixture(scope="module")
+def mini_engine():
+    db = _mini_db()
+    return PrefilterEngine(db, db, sensitivity=5.7, max_seqs=300,
+                           cov_thr=0.8, cov_mode=0)
+
+
+def test_native_matches_numpy(mini_engine):
+    pref = mini_engine
+    batch = pref.match_all()
+    assert len(batch) == pref.qdb.size
+    for qk in range(pref.qdb.size):
+        ref = [(h.seq_id, h.score, h.diagonal) for h in pref.match_query(qk)]
+        got = [(h.seq_id, h.score, h.diagonal) for h in batch[qk]]
+        assert got == ref, f"query {qk}"
+
+
+def test_native_no_identity_when_different_db(mini_engine):
+    src = mini_engine.qdb
+    pref = PrefilterEngine(src, src, sensitivity=5.7, max_seqs=300,
+                           same_qt_db=False)
+    batch = pref.match_all()
+    for qk in (0, 3, 11):
+        ref = [(h.seq_id, h.score, h.diagonal) for h in pref.match_query(qk)]
+        got = [(h.seq_id, h.score, h.diagonal) for h in batch[qk]]
+        assert got == ref
