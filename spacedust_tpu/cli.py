@@ -350,8 +350,8 @@ def _run_search(qdb, tdb, a, same_qt_db: bool):
                            comp_bias_correction=bool(a.comp_bias_corr),
                            mask=bool(a.mask),
                            cov_thr=a.cov_thr, cov_mode=a.cov_mode)
-    cands = {qk: [h.seq_id for h in pref.match_query(qk)]
-             for qk in range(qdb.size)}
+    cands = {qk: [h.seq_id for h in hits]
+             for qk, hits in pref.match_all().items()}
     aln_par = AlignmentParams(gap_open=a.gap_open, gap_extend=a.gap_extend,
                               eval_thr=a.eval_thr, cov_thr=a.cov_thr,
                               cov_mode=a.cov_mode, aln_len_thr=a.aln_len_thr,

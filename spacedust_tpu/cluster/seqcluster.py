@@ -230,8 +230,8 @@ def cluster_sequences(db: SetDB, params: SeqClusterParams | None = None,
                                comp_bias_correction=par.comp_bias_correction,
                                mask=par.mask,
                                cov_thr=par.cov_thr, cov_mode=par.cov_mode)
-        cands = {qk: [h.seq_id for h in pref.match_query(qk)]
-                 for qk in range(db.size)}
+        cands = {qk: [h.seq_id for h in hits]
+                 for qk, hits in pref.match_all().items()}
         aln_par = AlignmentParams(eval_thr=par.eval_thr, cov_thr=par.cov_thr,
                                   cov_mode=par.cov_mode,
                                   seq_id_thr=par.seq_id_thr,

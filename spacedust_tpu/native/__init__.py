@@ -72,6 +72,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # band_width
             ctypes.c_char_p, ctypes.c_int,    # out, cap
         ]
+        lib.comp_bias_batch.restype = None
+        lib.comp_bias_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int8),
+        ]
         lib.prefilter_match_batch.restype = ctypes.c_int
         lib.prefilter_match_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),   # qdata
@@ -192,6 +199,19 @@ def tantan_mask(seq: np.ndarray, ratio: np.ndarray, mask_to: int,
 
 def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def comp_bias_batch(qdata, qoffs, qlens, sub_int, p_back):
+    """int8 SW-profile composition bias for every query, concatenated in
+    the same layout as qdata."""
+    lib = get_lib()
+    out = np.zeros(len(qdata), dtype=np.int8)
+    lib.comp_bias_batch(
+        _ptr(qdata, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
+        _ptr(qlens, ctypes.c_int32), len(qlens),
+        _ptr(sub_int, ctypes.c_int32), sub_int.shape[0],
+        _ptr(p_back, ctypes.c_double), _ptr(out, ctypes.c_int8))
+    return out
 
 
 def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,

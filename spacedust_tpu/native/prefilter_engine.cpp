@@ -92,6 +92,28 @@ void local_bias_f32(const uint8_t* seq, int n, const int32_t* sub, int nsym,
 
 extern "C" {
 
+// Batched int8 composition bias for the SW profile
+// (StripedSmithWaterman.cpp:1230-1236 rounding over the f32 bias chain).
+void comp_bias_batch(const uint8_t* qdata, const int64_t* qoffs,
+                     const int32_t* qlens, int nq, const int32_t* sub,
+                     int nsym, const double* p_back, int8_t* out) {
+#pragma omp parallel
+  {
+    std::vector<float> buf;
+#pragma omp for schedule(dynamic, 16)
+    for (int qi = 0; qi < nq; ++qi) {
+      const int L = qlens[qi];
+      buf.resize(L);
+      local_bias_f32(qdata + qoffs[qi], L, sub, nsym, p_back, buf.data());
+      int8_t* dst = out + qoffs[qi];
+      for (int i = 0; i < L; ++i) {
+        const double b = static_cast<double>(buf[i]);
+        dst[i] = static_cast<int8_t>(b < 0.0 ? b - 0.5 : b + 0.5);
+      }
+    }
+  }
+}
+
 // Returns 0 on success.
 int prefilter_match_batch(
     // queries (tokens, concatenated); composition bias computed in-engine

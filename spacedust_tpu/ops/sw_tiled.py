@@ -42,9 +42,16 @@ def _cummax_lanes(x):
                                     "with_terminate"))
 def sw_scan_tiled(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
                   t_tile: int = 128, with_terminate: bool = False):
+    return sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend,
+                        terminate, t_tile=t_tile,
+                        with_terminate=with_terminate)
+
+
+def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
+                 t_tile: int = 128, with_terminate: bool = False):
     """prof: (B, A, Lq) int32; tseq: (B, Lt) int32. Lt % t_tile == 0.
     Returns (score, t_end, q_end) or terminate-column results, identical
-    to ops.sw._sw_scan."""
+    to ops.sw._sw_scan.  Unjitted core so callers can fuse it."""
     B, A, Lq = prof.shape
     Lt = tseq.shape[1]
     assert Lt % t_tile == 0

@@ -120,6 +120,8 @@ class AlignmentEngine:
         # scoring alphabet width; subclasses may widen it (the structure
         # mode scores over the combined 3Di x AA alphabet of 441 symbols)
         self.alpha = 21
+        self._dev = None          # lazy DeviceAlignDB (sequence mode only)
+        self._dev_tried = False
 
     def _target_symbols(self, tk: int) -> np.ndarray:
         """Target symbol sequence in the scoring alphabet (hook for the
@@ -272,10 +274,117 @@ class AlignmentEngine:
         return accepted
 
     # ------------------------------------------------------------------
+    def _device_db(self):
+        """Device-resident token/bias arrays (plain sequence mode only;
+        profile queries and widened alphabets use the host-assembly path)."""
+        if self._dev_tried:
+            return self._dev
+        self._dev_tried = True
+        if self.query_profiles or self.alpha != 21:
+            return None
+        # the fused wide-batch path pays off on an accelerator; on the CPU
+        # backend the x4-padded batches cost more than the pow2 host path
+        import os
+        import jax
+        if (jax.default_backend() == "cpu"
+                and not os.environ.get("SPACEDUST_FORCE_DEVICE_ALIGN")):
+            return None
+        from ..ops.sw_engine import DeviceAlignDB
+        from ..native import comp_bias_batch
+        qdb, tdb = self.qdb, self.tdb
+        qdata = np.ascontiguousarray(qdb.seq_data, dtype=np.uint8)
+        qoffs = np.ascontiguousarray(qdb.offsets[:-1], dtype=np.int64)
+        qlens = np.ascontiguousarray(qdb.lengths, dtype=np.int32)
+        if self.par.comp_bias_correction:
+            qbias = comp_bias_batch(
+                qdata, qoffs, qlens,
+                np.ascontiguousarray(self.matrix.sub_int, dtype=np.int32),
+                np.ascontiguousarray(self.matrix.p_back, dtype=np.float64))
+        else:
+            qbias = np.zeros(len(qdata), dtype=np.int8)
+        self._qoffs32 = qoffs.astype(np.int32)
+        self._toffs32 = np.ascontiguousarray(
+            tdb.offsets[:-1], dtype=np.int32)
+        self._dev = DeviceAlignDB(qdata, qbias,
+                                  np.ascontiguousarray(tdb.seq_data,
+                                                       dtype=np.uint8),
+                                  self.matrix.sub_int)
+        return self._dev
+
     def _run_forward(self, pairs: list[tuple[int, int]]
                      ) -> list[tuple[int, int, int]]:
         if not pairs:
             return []
+        dev = self._device_db()
+        if dev is not None:
+            from ..ops.sw_engine import bucket_len
+            qlens_all = self.qdb.lengths
+            tlens_all = self.tdb.lengths
+            qk = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+            tk = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+            ql = qlens_all[qk].astype(np.int32)
+            tl = tlens_all[tk].astype(np.int32)
+            buckets: dict[tuple[int, int], list[int]] = {}
+            for i in range(len(pairs)):
+                buckets.setdefault(
+                    (bucket_len(int(ql[i])), bucket_len(int(tl[i]))),
+                    []).append(i)
+            jobs = []
+            for key, idxs in sorted(buckets.items()):
+                sel = np.asarray(idxs, dtype=np.int64)
+                jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
+                             self._toffs32[tk[sel]], tl[sel],
+                             np.zeros(len(sel), np.int32), sel))
+            out: list[tuple[int, int, int] | None] = [None] * len(pairs)
+            for pos, (score, t_end, q_end) in dev.run_buckets(
+                    jobs, self.par.gap_open, self.par.gap_extend,
+                    reverse=False):
+                for bi, pidx in enumerate(pos):
+                    out[pidx] = (int(score[bi]), int(q_end[bi]),
+                                 int(t_end[bi]))
+            return out  # type: ignore[return-value]
+        return self._run_forward_host(pairs)
+
+    def _run_reverse(self, survivors) -> list[tuple[int, int]]:
+        if not survivors:
+            return []
+        dev = self._device_db()
+        if dev is not None:
+            from ..ops.sw_engine import bucket_len
+            n = len(survivors)
+            qk = np.fromiter((s[0] for s in survivors), np.int64, n)
+            tk = np.fromiter((s[1] for s in survivors), np.int64, n)
+            term = np.fromiter((s[2] for s in survivors), np.int32, n)
+            ql = np.fromiter((s[3] + 1 for s in survivors), np.int32, n)
+            tl = np.fromiter((s[4] + 1 for s in survivors), np.int32, n)
+            buckets: dict[tuple[int, int], list[int]] = {}
+            for i in range(n):
+                buckets.setdefault(
+                    (bucket_len(int(ql[i])), bucket_len(int(tl[i]))),
+                    []).append(i)
+            jobs = []
+            for key, idxs in sorted(buckets.items()):
+                sel = np.asarray(idxs, dtype=np.int64)
+                jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
+                             self._toffs32[tk[sel]], tl[sel],
+                             term[sel], sel))
+            out: list[tuple[int, int] | None] = [None] * n
+            for pos, (_score, fj, fi, found) in dev.run_buckets(
+                    jobs, self.par.gap_open, self.par.gap_extend,
+                    reverse=True):
+                for bi, sidx in enumerate(pos):
+                    if not found[bi]:
+                        raise RuntimeError(
+                            "forward/backward SW scores differ for "
+                            f"q={survivors[sidx][0]} t={survivors[sidx][1]}")
+                    q_end, t_end = survivors[sidx][3], survivors[sidx][4]
+                    out[sidx] = (q_end - int(fi[bi]), t_end - int(fj[bi]))
+            return out  # type: ignore[return-value]
+        return self._run_reverse_host(survivors)
+
+    # ------------------------------------------------------------------
+    def _run_forward_host(self, pairs: list[tuple[int, int]]
+                          ) -> list[tuple[int, int, int]]:
         qlens_all = self.qdb.lengths
         tlens_all = self.tdb.lengths
         buckets: dict[tuple[int, int], list[int]] = {}
@@ -308,10 +417,8 @@ class AlignmentEngine:
         return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
-    def _run_reverse(self, survivors) -> list[tuple[int, int]]:
+    def _run_reverse_host(self, survivors) -> list[tuple[int, int]]:
         """Batched reverse pass; returns (q_start, t_start) per survivor."""
-        if not survivors:
-            return []
         buckets: dict[tuple[int, int], list[int]] = {}
         for idx, (qk, tk, score, q_end, t_end, _ev) in enumerate(survivors):
             key = (_bucket_len(q_end + 1), _bucket_len(t_end + 1))

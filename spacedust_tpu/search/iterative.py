@@ -107,8 +107,8 @@ def search_iterative(query_db: SetDB, target_db: SetDB,
             query_profiles=pssms if is_profile else None)
         if not is_profile:
             prefilter_index_seq = pref.index
-        cands = {qk: [h.seq_id for h in pref.match_query(qk)]
-                 for qk in range(query_db.size)}
+        cands = {qk: [h.seq_id for h in hits]
+                 for qk, hits in pref.match_all().items()}
         if step > 0:
             cands = subtract_candidates(cands, merged, cfg.eval_profile)
 

@@ -188,8 +188,8 @@ def structure_search(query_db: SetDB, target_db: SetDB,
                            cov_thr=par.cov_thr, cov_mode=par.cov_mode,
                            seed_matrix_name="mat3di_bf8_bias",
                            ungapped_matrix_name="mat3di")
-    cands = {qk: [h.seq_id for h in pref.match_query(qk)]
-             for qk in range(query_db.size)}
+    cands = {qk: [h.seq_id for h in hits]
+             for qk, hits in pref.match_all().items()}
 
     aln_par = AlignmentParams(gap_open=par.gap_open,
                               gap_extend=par.gap_extend,

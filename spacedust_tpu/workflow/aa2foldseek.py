@@ -147,8 +147,8 @@ def aa2foldseek(db: SetDB, ref: StructureRef,
                            max_seqs=par.max_seqs, same_qt_db=False,
                            mask=par.mask,
                            cov_thr=par.cov_thr, cov_mode=par.cov_mode)
-    cands = {qk: [h.seq_id for h in pref.match_query(qk)]
-             for qk in range(db.size)}
+    cands = {qk: [h.seq_id for h in hits]
+             for qk, hits in pref.match_all().items()}
     aln_par = AlignmentParams(eval_thr=1e-3, cov_thr=par.cov_thr,
                               cov_mode=par.cov_mode,
                               seq_id_thr=par.seq_id_thr)

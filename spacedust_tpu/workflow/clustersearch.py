@@ -143,8 +143,8 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                                    comp_bias_correction=par.comp_bias_correction,
                                    mask=par.mask,
                                    cov_thr=par.cov_thr, cov_mode=par.cov_mode)
-            cands = {qk: [h.seq_id for h in pref.match_query(qk)]
-                     for qk in unmapped}
+            cands = {qk: [h.seq_id for h in hits]
+                     for qk, hits in pref.match_all(list(unmapped)).items()}
             aln_par = AlignmentParams(
                 gap_open=par.gap_open, gap_extend=par.gap_extend,
                 eval_thr=par.eval_thr, cov_thr=par.cov_thr,
@@ -180,8 +180,8 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         timings["index"] = time.time() - t0
 
         t0 = time.time()
-        candidates = {qk: [h.seq_id for h in pref.match_query(qk)]
-                      for qk in range(query_db.size)}
+        candidates = {qk: [h.seq_id for h in hits]
+                      for qk, hits in pref.match_all().items()}
         timings["prefilter"] = time.time() - t0
 
         t0 = time.time()
