@@ -86,6 +86,13 @@ def _sw_bucket(qdata, qbias, tdata, sub, qoff, qlen, toff, tlen, terminate,
                         with_terminate=reverse)
 
 
+def _concat_results(rs):
+    """Stack per-batch output tuples into one (n_out, total) device array
+    so a whole stage is fetched with a single transfer."""
+    return jnp.concatenate(
+        [jnp.stack([x.astype(jnp.int32) for x in r]) for r in rs], axis=1)
+
+
 class DeviceAlignDB:
     """Device-resident query/target token + bias arrays for one engine."""
 
@@ -99,12 +106,15 @@ class DeviceAlignDB:
     def run_buckets(self, jobs, gap_open: int, gap_extend: int,
                     reverse: bool):
         """jobs: list of (bucket_key, qoff, qlen, toff, tlen, term,
-        positions).  Dispatches every bucket asynchronously, then fetches.
-        Returns a list of (positions, fetched-numpy-tuple)."""
+        positions).  Dispatches every batch asynchronously, stacks all
+        results on device, and fetches them with ONE device-to-host
+        transfer: on the target hardware the per-transfer round-trip
+        dominates tiny result fetches, so a stage must cost O(1)
+        transfers, not O(batches).  Returns (positions, numpy-tuple)
+        per batch."""
         pending = []
         for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
             B = batch_width(lq, lt)
-            out = []
             for s in range(0, len(qoff), B):
                 e = min(s + B, len(qoff))
                 pad = B - (e - s)
@@ -119,7 +129,15 @@ class DeviceAlignDB:
                     jnp.asarray(padded(term)),
                     Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend,
                     reverse=reverse)
-                out.append((pos[s:e], r))
-            pending.extend(out)
-        return [(pos, tuple(np.asarray(x)[:len(pos)] for x in r))
-                for pos, r in pending]
+                pending.append((pos[s:e], r))
+        if not pending:
+            return []
+        # single D2H transfer: concat every batch's stacked outputs
+        flat = np.asarray(_concat_results([r for _, r in pending]))
+        out, col = [], 0
+        for pos, r in pending:
+            b = r[0].shape[0]
+            out.append((pos, tuple(flat[i, col:col + len(pos)]
+                                   for i in range(len(r)))))
+            col += b
+        return out

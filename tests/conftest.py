@@ -18,6 +18,20 @@ import pytest  # noqa: E402
 
 EXAMPLES = "/root/reference/examples"
 
+# Oracle intermediates from the reference binary: a freshly generated run
+# in .tmp/oracle takes precedence (full DBs); the committed fixture set
+# (tests/fixtures/oracle, trimmed to what the parity tests read) makes
+# the parity suite run by default on a clean checkout.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_FIXTURE_ORACLE = os.path.join(_REPO, "tests", "fixtures", "oracle")
+_TMP_ORACLE = os.path.join(_REPO, ".tmp", "oracle")
+
+
+def oracle_root() -> str:
+    if os.path.exists(os.path.join(_FIXTURE_ORACLE, "profiles.index")):
+        return _FIXTURE_ORACLE
+    return _TMP_ORACLE
+
 
 @pytest.fixture(scope="session")
 def examples_dir():

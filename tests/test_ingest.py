@@ -62,7 +62,8 @@ def test_gff_matches_oracle_sequences(examples_dir):
     from spacedust_tpu.db.mmseqs_io import FlatDB
     from spacedust_tpu.constants import encode_aa, decode_aa
 
-    oracle_base = "/root/repo/.tmp/oracle/uvig/genome"
+    from conftest import oracle_root
+    oracle_base = os.path.join(oracle_root(), "uvig", "genome")
     if not os.path.exists(oracle_base + ".index"):
         pytest.skip("oracle uvig DB not generated")
     db = create_setdb_from_gff(

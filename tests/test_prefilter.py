@@ -14,7 +14,9 @@ from spacedust_tpu.search.prefilter import (PrefilterEngine, build_seed_tables,
                                             kmer_score_threshold, pack_kmers,
                                             spaced_kmers)
 
-ORACLE = "/root/repo/.tmp/oracle"
+from conftest import oracle_root
+
+ORACLE = oracle_root()
 
 
 def _oracle_tmp():

@@ -15,7 +15,9 @@ from spacedust_tpu.search.profile import (compute_pssm, compute_msa, flog2,
                                           fpow2, GAP)
 from spacedust_tpu.stats.submat import load_pinned_matrix
 
-ORACLE = "/root/repo/.tmp/oracle"
+from conftest import oracle_root
+
+ORACLE = oracle_root()
 
 
 def test_fast_log_pow_roundtrip():

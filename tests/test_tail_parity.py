@@ -15,7 +15,9 @@ from spacedust_tpu.cluster.aggregate import (besthit_by_set,
 from spacedust_tpu.cluster.clusterhits import cluster_hits
 from spacedust_tpu.cluster.summarize import summarize_results
 
-ORACLE = "/root/repo/.tmp/oracle"
+from conftest import oracle_root
+
+ORACLE = oracle_root()
 
 
 def _oracle_tmp():
