@@ -46,6 +46,8 @@ class SetDB:
     # optional structural (3Di) states per gene, same offsets as seq_data
     # (the reference's *_ss sidecar DB, e.g. examples/foldseek_testdb):
     ss_data: np.ndarray = field(default=None)     # uint8 encoded 3Di states
+    # on-disk home when loaded from an artifact dir (hosts index caches)
+    path: str = field(default=None)
 
     # ------------------------------------------------------------------
     @property
@@ -165,6 +167,7 @@ class SetDB:
         if (path / "ss_data.npy").exists():
             db.ss_data = np.load(path / "ss_data.npy")
         db.finalize_metadata()
+        db.path = str(path)      # artifact home (also hosts index caches)
         return db
 
     @classmethod

@@ -125,6 +125,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_uint8,                   # mask_to
             ctypes.POINTER(ctypes.c_float),   # probs_out (nullable)
         ]
+        lib.fill_offset_table.restype = ctypes.c_int
+        lib.fill_offset_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         _LIB = lib
     return _LIB
 
@@ -212,6 +216,22 @@ def comp_bias_batch(qdata, qoffs, qlens, sub_int, p_back):
         _ptr(sub_int, ctypes.c_int32), sub_int.shape[0],
         _ptr(p_back, ctypes.c_double), _ptr(out, ctypes.c_int8))
     return out
+
+
+def fill_offset_table(uk: np.ndarray, cnt: np.ndarray,
+                      table_size: int) -> np.ndarray:
+    """Dense posting-offset table (int32, table_size entries) from sorted
+    unique k-mers + counts; the prefix sum runs in C (numpy's cumsum is
+    the bottleneck on low-bandwidth hosts)."""
+    lib = get_lib()
+    uk = np.ascontiguousarray(uk, dtype=np.int64)
+    cnt = np.ascontiguousarray(cnt, dtype=np.int32)
+    table = np.empty(table_size, dtype=np.int32)
+    lib.fill_offset_table(
+        _ptr(uk, ctypes.c_int64), _ptr(cnt, ctypes.c_int32),
+        ctypes.c_int64(len(uk)),
+        _ptr(table, ctypes.c_int32), ctypes.c_int64(table_size))
+    return table
 
 
 def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,

@@ -385,4 +385,22 @@ int prefilter_match_batch(
   return 0;
 }
 
+// Dense k-mer -> posting-offset table from (unique kmer, count) pairs:
+// scatter + sequential int32 prefix sum.  numpy's cumsum over the 64M-bin
+// table is the index-build bottleneck on bandwidth-starved hosts; a plain
+// streaming loop is several times faster there.
+int fill_offset_table(const int64_t* uk, const int32_t* cnt, int64_t n,
+                      int32_t* table, int64_t table_size) {
+  // table has table_size entries (== 20^6 + 1), caller-zeroed or not:
+  // write counts into a scratch pass using the table itself.
+  std::memset(table, 0, table_size * sizeof(int32_t));
+  for (int64_t i = 0; i < n; ++i) table[uk[i] + 1] = cnt[i];
+  int32_t acc = 0;
+  for (int64_t i = 0; i < table_size; ++i) {
+    acc += table[i];
+    table[i] = acc;
+  }
+  return 0;
+}
+
 }  // extern "C"

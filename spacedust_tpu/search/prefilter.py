@@ -193,65 +193,137 @@ class KmerIndex:
         self.kmer_thr = kmer_thr
         self.masked = (mask_sequences(target_db, self.seed) if mask
                        else [target_db.sequence(k) for k in range(target_db.size)])
-        diag_score = np.diagonal(self.seed.sub_int).astype(np.int32)
-
-        kmer_list = []
-        seq_list = []
-        pos_list = []
-        for sid in range(target_db.size):
-            seq = self.masked[sid]
-            starts, kmers = spaced_kmers(seq)
-            if len(starts) == 0:
-                continue
-            ok = ~(kmers == X_INDEX).any(axis=1)
-            if kmer_thr > 0:
-                self_scores = diag_score[kmers.astype(np.int64)].sum(axis=1)
-                ok &= self_scores >= kmer_thr
-            starts = starts[ok]
-            if len(starts) == 0:
-                continue
-            packed = pack_kmers(kmers[ok])
-            # only the FIRST occurrence of a k-mer per sequence is indexed
-            # (IndexTable::addSequence dedups on kmerIdx != prevKmer after
-            # a (kmer, pos) sort; IndexTable.h:332-345)
-            order = np.lexsort((starts, packed))
-            packed = packed[order]
-            starts = starts[order]
-            first = np.concatenate(([True], packed[1:] != packed[:-1]))
-            kmer_list.append(packed[first])
-            seq_list.append(np.full(int(first.sum()), sid, dtype=np.int32))
-            pos_list.append(starts[first])
-
-        if kmer_list:
-            kmers = np.concatenate(kmer_list)
-            seqs = np.concatenate(seq_list)
-            poss = np.concatenate(pos_list)
-            order = np.lexsort((poss, seqs, kmers))
-            self.kmers = kmers[order]
-            self.seq_ids = seqs[order]
-            self.positions = poss[order]
-        else:
-            self.kmers = np.empty(0, np.int64)
-            self.seq_ids = np.empty(0, np.int32)
-            self.positions = np.empty(0, np.int32)
-
-        # dense k-mer -> posting-range offsets (IndexTable layout):
-        # O(1) lookups instead of binary search over the posting array
-        counts = np.bincount(self.kmers, minlength=SEED_ALPHA ** KMER_SIZE)
-        self.offsets = np.concatenate(
-            ([0], np.cumsum(counts, dtype=np.int64)))
-        self.offsets32 = self.offsets.astype(np.int32)
 
         # concatenated masked target residues for vectorized rescore
         lens = np.array([len(s) for s in self.masked], dtype=np.int64)
         self.t_offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
         self.t_data = (np.concatenate(self.masked) if self.masked
                        else np.empty(0, np.uint8))
+        self._build_postings(lens)
+        self._finish_offsets()
+
+    def _build_postings(self, lens: np.ndarray) -> None:
+        """All-sequences-at-once window extraction over the concatenated
+        token array (the per-sequence loop is the build bottleneck on
+        genome-scale DBs)."""
+        diag_score = np.diagonal(self.seed.sub_int).astype(np.int32)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int32),
+                 np.empty(0, np.int32))
+        data = self.t_data
+        L = len(data)
+        n_seq = len(lens)
+        if L < SPAN_6 or n_seq == 0:
+            self.kmers, self.seq_ids, self.positions = empty
+            return
+        seq_of = np.repeat(np.arange(n_seq, dtype=np.int32), lens)
+        starts = np.arange(L - SPAN_6 + 1, dtype=np.int64)
+        # windows must not straddle a sequence boundary
+        ok = seq_of[starts] == seq_of[starts + SPAN_6 - 1]
+        kmers6 = data[starts[:, None] + SPACED_PATTERN_6[None, :]]
+        ok &= ~(kmers6 == X_INDEX).any(axis=1)
+        if self.kmer_thr > 0:
+            # only k-mers with self-score >= threshold are indexed
+            # (IndexTable.h:144-152)
+            self_scores = diag_score[kmers6.astype(np.int64)].sum(axis=1)
+            ok &= self_scores >= self.kmer_thr
+        starts = starts[ok]
+        if len(starts) == 0:
+            self.kmers, self.seq_ids, self.positions = empty
+            return
+        packed = pack_kmers(kmers6[ok])
+        sid = seq_of[starts]
+        pos = (starts - self.t_offsets[sid]).astype(np.int32)
+        # only the FIRST occurrence of a k-mer per sequence is indexed
+        # (IndexTable::addSequence dedups on kmerIdx != prevKmer after
+        # a (kmer, pos) sort; IndexTable.h:332-345); the final posting
+        # order is (kmer, seq, pos)
+        order = np.lexsort((pos, sid, packed))
+        packed = packed[order]
+        sid = sid[order]
+        pos = pos[order]
+        first = np.concatenate(
+            ([True], (packed[1:] != packed[:-1]) | (sid[1:] != sid[:-1])))
+        self.kmers = packed[first]
+        self.seq_ids = sid[first]
+        self.positions = pos[first]
+
+    def _finish_offsets(self) -> None:
+        # dense k-mer -> posting-range offsets (IndexTable layout):
+        # O(1) lookups instead of binary search over the posting array.
+        # Built int32-only from the sorted postings' (unique, count)
+        # pairs with a native prefix-sum — a dense 64M-bin int64
+        # bincount/cumsum dominates the whole index build otherwise.
+        from ..native import fill_offset_table
+        if len(self.kmers):
+            bnd = np.flatnonzero(self.kmers[1:] != self.kmers[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            uk = self.kmers[starts]
+            cnt = np.diff(np.concatenate((starts, [len(self.kmers)])))
+        else:
+            uk = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        self.offsets = fill_offset_table(uk, cnt, SEED_ALPHA ** KMER_SIZE + 1)
+        self.offsets32 = self.offsets
 
     def lookup_ranges(self, query_kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         lo = self.offsets[query_kmers]
         hi = self.offsets[query_kmers + 1]
         return lo, hi
+
+    # -- persistence (the PrefilteringIndexReader analog,
+    #    lib/mmseqs/src/prefiltering/PrefilteringIndexReader.cpp): the
+    #    sorted postings + masked tokens are saved; the dense offset
+    #    table is rebuilt on load (cheaper to recompute than to store
+    #    256 MB). The cache key carries the build settings + DB shape.
+    FORMAT_VERSION = 1
+
+    def save(self, path: str | Path) -> None:
+        path = str(path)
+        np.savez(path, version=self.FORMAT_VERSION, kmer_thr=self.kmer_thr,
+                 n_seqs=self.tdb.size, total_res=self.tdb.total_residues,
+                 kmers=self.kmers.astype(np.int32),
+                 seq_ids=self.seq_ids, positions=self.positions,
+                 t_data=self.t_data, t_offsets=self.t_offsets)
+        # the dense offset table is stored separately so load can mmap it
+        # (page-cache reads are ~50x cheaper than rebuilding the table on
+        # write-throttled hosts)
+        np.save(path.removesuffix(".npz") + ".offsets.npy", self.offsets32)
+
+    @classmethod
+    def load(cls, path: str | Path, target_db: SetDB, kmer_thr: int,
+             seed_matrix: SubstitutionMatrix | None = None
+             ) -> "KmerIndex | None":
+        try:
+            z = np.load(path)
+        except (OSError, ValueError):
+            return None
+        if (int(z["version"]) != cls.FORMAT_VERSION
+                or int(z["kmer_thr"]) != kmer_thr
+                or int(z["n_seqs"]) != target_db.size
+                or int(z["total_res"]) != target_db.total_residues):
+            return None
+        self = cls.__new__(cls)
+        self.tdb = target_db
+        self.seed = seed_matrix or load_pinned_matrix("vtml80_bf8_bias")
+        self.kmer_thr = kmer_thr
+        self.t_data = z["t_data"]
+        self.t_offsets = z["t_offsets"]
+        bounds = np.concatenate((self.t_offsets, [len(self.t_data)]))
+        self.masked = [self.t_data[bounds[i]:bounds[i + 1]]
+                       for i in range(target_db.size)]
+        self.kmers = z["kmers"].astype(np.int64)
+        self.seq_ids = z["seq_ids"]
+        self.positions = z["positions"]
+        off_path = str(path).removesuffix(".npz") + ".offsets.npy"
+        try:
+            off = np.load(off_path, mmap_mode="r")
+            assert off.dtype == np.int32 \
+                and len(off) == SEED_ALPHA ** KMER_SIZE + 1
+            self.offsets = off
+            self.offsets32 = off
+        except (OSError, ValueError, AssertionError):
+            self._finish_offsets()
+        return self
 
 
 @dataclass
@@ -300,8 +372,26 @@ class PrefilterEngine:
         # even for profile queries (localKmerThr logic, Prefiltering.cpp:525-528
         # keeps kmerThr; with profile queries localKmerThr becomes 0)
         index_thr = 0 if self.query_profiles else self.kmer_thr
-        self.index = index if index is not None else KmerIndex(
-            target_db, index_thr, self.seed, mask=mask)
+        if index is not None:
+            self.index = index
+        else:
+            self.index = None
+            cache = None
+            if getattr(target_db, "path", None):
+                from pathlib import Path as _P
+                cache = (_P(target_db.path)
+                         / f"kmeridx_k6_t{index_thr}_m{int(mask)}.npz")
+                if cache.exists():
+                    self.index = KmerIndex.load(cache, target_db, index_thr,
+                                                self.seed)
+            if self.index is None:
+                self.index = KmerIndex(target_db, index_thr, self.seed,
+                                       mask=mask)
+                if cache is not None:
+                    try:
+                        self.index.save(cache)
+                    except OSError:
+                        pass
         self._bin_count = compute_bin_count(target_db.size)
         # target residue data (masked) padded into one array for rescore
         self._tseqs = self.index.masked
