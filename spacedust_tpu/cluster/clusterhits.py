@@ -110,7 +110,11 @@ def cluster_hits(matches: list[Match],
                  cluster_size: int = 2,
                  p_clu_thr: float = 0.01,
                  p_mh_thr: float = 0.01,
-                 alpha: float = 1.0) -> list[Cluster]:
+                 alpha: float = 1.0,
+                 use_native: bool = True) -> list[Cluster]:
+    """use_native: run the merge loop in C (native/clusterhits_engine.cpp,
+    OpenMP over score rows; same scan order — tests assert equality with
+    the pure-Python loop, which remains the executable specification)."""
     max_orf = int(max(query_db.set_sizes.max(initial=0),
                       target_db.set_sizes.max(initial=0)))
     lookup = pv.make_cluster_lgamma_lookup(max_orf)
@@ -139,6 +143,27 @@ def cluster_hits(matches: list[Match],
             ))
         K = len(match)
         if K == 1:
+            continue
+
+        if use_native:
+            from ..native import cluster_hits_native
+            node_lists, node_scores = cluster_hits_native(
+                np.array([h.q_pos for h in match], dtype=np.int64),
+                np.array([h.t_pos for h in match], dtype=np.int64),
+                np.array([h.q_strand for h in match], dtype=np.uint8),
+                np.array([h.t_strand for h in match], dtype=np.uint8),
+                lookup, d, s_min)
+            for node, score in zip(node_lists, node_scores):
+                if len(node) >= cluster_size:
+                    cluster = [match[n] for n in node]
+                    p_co = math.exp(-float(score))
+                    p_mh = pv.cluster_multihit_pval(
+                        np.array([h.pval for h in cluster]), mt.nq, alpha,
+                        lookup)
+                    if p_co <= p_clu_thr and p_mh <= p_mh_thr:
+                        out.append(Cluster(qset=mt.qset, tset=mt.tset,
+                                           p_co=p_co, p_mh=p_mh,
+                                           hits=cluster))
             continue
 
         dist = np.zeros((K, K), dtype=np.float64)

@@ -18,7 +18,7 @@ _LIB = None
 
 
 _SOURCES = ["banded_sw.cpp", "tantan.cpp", "simd_helpers.cpp",
-            "prefilter_engine.cpp"]
+            "prefilter_engine.cpp", "clusterhits_engine.cpp"]
 
 
 def _build() -> Path:
@@ -129,6 +129,14 @@ def get_lib() -> ctypes.CDLL:
         lib.fill_offset_table.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.cluster_hits_engine.restype = ctypes.c_int
+        lib.cluster_hits_engine.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double)]
         _LIB = lib
     return _LIB
 
@@ -286,3 +294,33 @@ def w_contrib_rcp(n: np.ndarray, naa: np.ndarray) -> np.ndarray:
         n.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def cluster_hits_native(qpos, tpos, qstrand, tstrand, lookup,
+                        max_gene_gaps: int, s_min: float, q0: float = 0.001):
+    """Native agglomeration (clusterhits_engine.cpp). Returns
+    (node_member_lists, node_scores) in nodes-index order."""
+    lib = get_lib()
+    K = len(qpos)
+    qpos = np.ascontiguousarray(qpos, dtype=np.int64)
+    tpos = np.ascontiguousarray(tpos, dtype=np.int64)
+    qstrand = np.ascontiguousarray(qstrand, dtype=np.uint8)
+    tstrand = np.ascontiguousarray(tstrand, dtype=np.uint8)
+    lookup = np.ascontiguousarray(lookup, dtype=np.float64)
+    members = np.empty(K, dtype=np.int32)
+    sizes = np.empty(K, dtype=np.int32)
+    scores = np.empty(K, dtype=np.float64)
+    lib.cluster_hits_engine(
+        _ptr(qpos, ctypes.c_int64), _ptr(tpos, ctypes.c_int64),
+        _ptr(qstrand, ctypes.c_uint8), _ptr(tstrand, ctypes.c_uint8),
+        K, _ptr(lookup, ctypes.c_double), ctypes.c_int64(len(lookup)),
+        ctypes.c_int64(max_gene_gaps), ctypes.c_double(s_min),
+        ctypes.c_double(q0),
+        _ptr(members, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
+        _ptr(scores, ctypes.c_double))
+    out, off = [], 0
+    for n in range(K):
+        sz = int(sizes[n])
+        out.append([int(x) for x in members[off:off + sz]])
+        off += sz
+    return out, scores
