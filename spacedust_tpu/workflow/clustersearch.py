@@ -21,12 +21,72 @@ from dataclasses import dataclass, asdict, field
 from pathlib import Path
 
 from ..db.setdb import SetDB
+from ..db.mmseqs_io import FlatDB, write_flatdb
 from ..search.alignment import AlignmentEngine, AlignmentParams, COV_MODE_QUERY
 from ..search.prefilter import PrefilterEngine
 from ..cluster.aggregate import (besthit_by_set, merge_results_by_set,
                                  combine_hits, Match)
 from ..cluster.clusterhits import cluster_hits, Cluster
 from ..cluster.summarize import summarize_results, seq_to_clu
+
+# MMseqs2 .dbtype ids for the checkpoint DBs (Parameters.h:68-94):
+# 5 = alignment result, 12 = generic/prefilter result
+_DBTYPE_ALN = 5
+_DBTYPE_GENERIC = 12
+
+
+class StageCheckpoints:
+    """Per-stage resumable artifacts in MMseqs2 flat-DB format — the
+    reference's `notExists "$out"` workflow idiom (data/clustersearch.sh:
+    33-165): a rerun with the same parameter hash resumes after the last
+    completed stage, and every intermediate doubles as a reference-
+    toolchain-readable DB (write-side interop via db/mmseqs_io.py)."""
+
+    def __init__(self, root: Path | None):
+        self.root = root
+        if root is not None:
+            root.mkdir(parents=True, exist_ok=True)
+
+    def has(self, name: str) -> bool:
+        return (self.root is not None
+                and (self.root / f"{name}.index").exists())
+
+    def _base(self, name: str) -> str:
+        return str(self.root / name)
+
+    def save_lines(self, name: str, data: dict[int, list[list[str]]],
+                   dbtype: int = _DBTYPE_ALN) -> None:
+        if self.root is None:
+            return
+        ents = [(qk, "".join("\t".join(c) + "\n" for c in cols))
+                for qk, cols in sorted(data.items())]
+        write_flatdb(self._base(name), ents, dbtype=dbtype)
+
+    def load_lines(self, name: str) -> dict[int, list[list[str]]]:
+        db = FlatDB.open(self._base(name))
+        return {k: [ln.split("\t") for ln in db.lines(k)] for k in db.keys()}
+
+    def save_matches(self, matches: list[Match]) -> None:
+        if self.root is None:
+            return
+        write_flatdb(self._base("matches"),
+                     [(i, "".join("\t".join(c) + "\n" for c in m.lines))
+                      for i, m in enumerate(matches)], dbtype=_DBTYPE_ALN)
+        write_flatdb(self._base("matches_h"),
+                     [(i, m.header + "\n") for i, m in enumerate(matches)],
+                     dbtype=_DBTYPE_GENERIC)
+
+    def load_matches(self) -> list[Match]:
+        body = FlatDB.open(self._base("matches"))
+        head = FlatDB.open(self._base("matches_h"))
+        out = []
+        for k in head.keys():
+            cols = head.get(k).strip().split("\t")
+            out.append(Match(qset=int(cols[0]), tset=int(cols[1]),
+                             nq=int(cols[2]), nt=int(cols[3]),
+                             k=int(cols[4]), combined_eval_str=cols[5],
+                             lines=[ln.split("\t") for ln in body.lines(k)]))
+        return out
 
 
 @dataclass
@@ -77,7 +137,8 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                    same_qt_db: bool | None = None,
                    target_cluster_db=None,
                    query_mapping=None, target_mapping=None,
-                   progress: bool = False) -> ClusterSearchResult:
+                   progress: bool = False,
+                   ckpt_dir: str | Path | None = None) -> ClusterSearchResult:
     """`target_cluster_db`: a workflow.clusterdb.ClusterDB of the target
     (required for --profile-cluster-search, mirroring the reference's
     precomputed TARGET_clu_rep_profile/_clu_aln sidecars,
@@ -88,8 +149,11 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
     if same_qt_db is None:
         same_qt_db = query_db is target_db
     timings: dict[str, float] = {}
+    ck = StageCheckpoints(Path(ckpt_dir) if ckpt_dir is not None else None)
 
-    if par.profile_cluster_search:
+    if ck.has("result"):
+        records = None          # search stage resumed from checkpoint
+    elif par.profile_cluster_search:
         from ..search.profilesearch import (ProfileSearchParams,
                                             search_profile_target)
         from ..search.expandaln import ExpandParams, expand_alignments
@@ -198,15 +262,30 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
 
     # prefixid: records -> prefixed column lines
     t0 = time.time()
-    results = {qk: [[str(qk)] + r.columns() for r in recs]
-               for qk, recs in records.items()}
-    agg = besthit_by_set(results, target_db,
-                         simple_best_hit=par.simple_best_hit,
-                         subopt_hits_factor=par.subopt_hits_factor)
-    merged = merge_results_by_set(agg, query_db)
-    matches = combine_hits(merged, query_db, target_db, alpha=par.alpha,
-                           aggregation_mode=par.aggregation_mode,
-                           filter_self_match=par.filter_self_match)
+    if records is None:
+        results = {qk: [[str(qk)] + c for c in cols]
+                   for qk, cols in ck.load_lines("result").items()}
+    else:
+        results = {qk: [[str(qk)] + r.columns() for r in recs]
+                   for qk, recs in records.items()}
+        ck.save_lines("result", {qk: [r.columns() for r in recs]
+                                 for qk, recs in records.items()})
+    if ck.has("matches"):
+        matches = ck.load_matches()
+    else:
+        if ck.has("aggregate_merged"):
+            merged = ck.load_lines("aggregate_merged")
+        else:
+            agg = besthit_by_set(results, target_db,
+                                 simple_best_hit=par.simple_best_hit,
+                                 subopt_hits_factor=par.subopt_hits_factor)
+            ck.save_lines("aggregate", agg)
+            merged = merge_results_by_set(agg, query_db)
+            ck.save_lines("aggregate_merged", merged)
+        matches = combine_hits(merged, query_db, target_db, alpha=par.alpha,
+                               aggregation_mode=par.aggregation_mode,
+                               filter_self_match=par.filter_self_match)
+        ck.save_matches(matches)
     clusters = cluster_hits(matches, query_db, target_db,
                             max_gene_gaps=par.max_gene_gaps,
                             cluster_size=par.cluster_size,
@@ -230,11 +309,14 @@ def cluster_search_to_file(query_db: SetDB, target_db: SetDB, out_path: str,
     if tmp_dir is not None:
         h = hashlib.sha1(json.dumps(asdict(params), sort_keys=True).encode()
                          ).hexdigest()[:16]
-        ckpt = Path(tmp_dir) / h / "result.tsv"
+        stage_dir = Path(tmp_dir) / h
+        ckpt = stage_dir / "result.tsv"
         if ckpt.exists():
             tsv = ckpt.read_text()
             res = ClusterSearchResult(tsv=tsv, clusters=[], matches=[],
                                       seq_to_clu={})
+        else:
+            kwargs.setdefault("ckpt_dir", stage_dir)
     if res is None:
         res = cluster_search(query_db, target_db, **kwargs)
         if tmp_dir is not None:

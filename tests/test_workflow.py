@@ -52,3 +52,37 @@ def test_cluster_search_no_self_without_filter(tiny_genomes):
     res = cluster_search(db, db, par)
     # self-matches yield whole-genome identity clusters as well
     assert len(res.clusters) >= 2
+
+
+def test_cluster_search_stage_checkpoint_resume(tiny_genomes, tmp_path,
+                                                monkeypatch):
+    """A rerun with the same checkpoint dir resumes after the search
+    stage (the reference's notExists idiom): no prefilter engine is
+    constructed and the TSV is identical."""
+    db = create_setdb_from_fastas(tiny_genomes)
+    par = ClusterSearchParams(filter_self_match=True, mask=False)
+    ck = tmp_path / "stages"
+    first = cluster_search(db, db, par, ckpt_dir=ck)
+    assert (ck / "result.index").exists()
+    assert (ck / "matches.index").exists()
+
+    import spacedust_tpu.workflow.clustersearch as cs
+
+    def boom(*a, **k):
+        raise AssertionError("search stage should have been resumed")
+
+    monkeypatch.setattr(cs, "PrefilterEngine", boom)
+    second = cluster_search(db, db, par, ckpt_dir=ck)
+    assert second.tsv == first.tsv
+
+
+def test_cluster_search_to_file_resumes_final(tiny_genomes, tmp_path):
+    db = create_setdb_from_fastas(tiny_genomes)
+    par = ClusterSearchParams(filter_self_match=True, mask=False)
+    out = tmp_path / "out.tsv"
+    from spacedust_tpu.workflow.clustersearch import cluster_search_to_file
+    r1 = cluster_search_to_file(db, db, str(out), tmp_dir=str(tmp_path),
+                                params=par)
+    r2 = cluster_search_to_file(db, db, str(out), tmp_dir=str(tmp_path),
+                                params=par)
+    assert r2.tsv == r1.tsv
