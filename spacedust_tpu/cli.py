@@ -116,6 +116,14 @@ def cmd_clustersearch(argv: list[str]) -> int:
     res = cluster_search_to_file(qdb, tdb, a.output, a.tmp_dir, params=params,
                                  target_cluster_db=cdb,
                                  query_mapping=qmap, target_mapping=tmap)
+    if res.seq_to_clu:
+        # ${OUTPUT}_seq_to_clu sidecar (data/clustersearch.sh:157-164:
+        # filterdb --trim-to-one-column + swapdb of the cluster DB)
+        from .db.mmseqs_io import write_flatdb
+        write_flatdb(a.output + "_seq_to_clu",
+                     [(k, "".join(f"{c}\n" for c in clus))
+                      for k, clus in sorted(res.seq_to_clu.items())],
+                     dbtype=5)
     n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
     n_clusters = sum(1 for ln in res.tsv.splitlines() if ln.startswith("#"))
     print(f"clustersearch: {n_clusters} clusters / {n_hits} hits "
@@ -355,6 +363,10 @@ def _run_search(qdb, tdb, a, same_qt_db: bool):
     aln_par = AlignmentParams(gap_open=a.gap_open, gap_extend=a.gap_extend,
                               eval_thr=a.eval_thr, cov_thr=a.cov_thr,
                               cov_mode=a.cov_mode, aln_len_thr=a.aln_len_thr,
+                              max_accept=getattr(a, "max_accept", 2147483647),
+                              max_rejected=getattr(a, "max_rejected",
+                                                   2147483647),
+                              alt_alignments=getattr(a, "alt_ali", 0),
                               comp_bias_correction=bool(a.comp_bias_corr))
     eng = AlignmentEngine(qdb, tdb, aln_par, same_qt_db=same_qt_db)
     return eng.align_all(cands)
@@ -380,6 +392,9 @@ def cmd_search(argv: list[str]) -> int:
     p.add_argument("--gap-extend", type=int, default=1)
     p.add_argument("--mask", type=int, default=1)
     p.add_argument("--comp-bias-corr", type=int, default=1)
+    p.add_argument("--max-accept", type=int, default=2147483647)
+    p.add_argument("--max-rejected", type=int, default=2147483647)
+    p.add_argument("--alt-ali", type=int, default=0)
     p.add_argument("--format-mode", type=int, default=0,
                    help="0: key-prefixed alignment TSV, 4: BLAST-tab "
                         "with column headers, 1: BLAST-tab")

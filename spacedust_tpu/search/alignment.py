@@ -79,6 +79,7 @@ class AlignmentParams:
     aln_len_thr: int = 0
     max_accept: int = 2147483647
     max_rejected: int = 2147483647
+    alt_alignments: int = 0
     comp_bias_correction: bool = True
     comp_bias_correction_scale: float = 1.0
     add_backtrace: bool = True
@@ -220,31 +221,43 @@ class AlignmentEngine:
     def align_all(self, candidates: dict[int, list[int]],
                   progress: bool = False) -> dict[int, list[AlnRecord]]:
         """candidates: query key -> target keys (prefilter order).
-        Returns query key -> sorted accepted records."""
+        Returns query key -> sorted accepted records.
+
+        All SW passes run batched; the per-query --max-accept /
+        --max-rejected early-stop (Alignment.cpp:346,389-397: stop at
+        max_accept acceptances or max_rejected CONSECUTIVE rejections,
+        candidates in prefilter order) is applied as an output-equivalent
+        post-pass over the eagerly computed decisions."""
         par = self.par
         qdb, tdb = self.qdb, self.tdb
         qlens_all = qdb.lengths
         tlens_all = tdb.lengths
 
-        # Stage 0: identity + coverage pre-check, collect SW pairs
-        accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in candidates}
+        # Stage 0: identity + coverage pre-check, collect SW pairs.
+        # items[qk] keeps every candidate in prefilter order as
+        # ('acc', record) / ('rej', None) / ('pair', pair list index).
+        items: dict[int, list] = {}
         pairs: list[tuple[int, int]] = []
         for qk, tkeys in candidates.items():
+            lst = []
             for tk in tkeys:
                 if not can_be_covered(par.cov_thr, par.cov_mode,
                                       int(qlens_all[qk]), int(tlens_all[tk])):
-                    continue
-                if qk == tk and (par.include_identity or self.same_qt_db):
-                    accepted[qk].append(self._identity_record(qk))
+                    lst.append(("rej", None))
+                elif qk == tk and (par.include_identity or self.same_qt_db):
+                    lst.append(("acc", self._identity_record(qk)))
                 else:
+                    lst.append(("pair", len(pairs)))
                     pairs.append((qk, tk))
+            items[qk] = lst
 
         # Stage 1: forward SW, bucketed
         fwd = self._run_forward(pairs)
 
         # Stage 2: E-value/end-coverage filters -> reverse-pass batch
         survivors: list[tuple[int, int, int, int, int, float]] = []
-        for (qk, tk), (score, q_end, t_end) in zip(pairs, fwd):
+        surv_of_pair: dict[int, int] = {}
+        for pi, ((qk, tk), (score, q_end, t_end)) in enumerate(zip(pairs, fwd)):
             if t_end < 0:
                 continue
             qlen = int(qlens_all[qk])
@@ -256,22 +269,152 @@ class AlignmentEngine:
             tcov0 = compute_cov(0, t_end, tlen)
             if not has_coverage(par.cov_thr, par.cov_mode, qcov0, tcov0):
                 continue  # ssw first coverage early-out
+            surv_of_pair[pi] = len(survivors)
             survivors.append((qk, tk, score, q_end, t_end, evalue))
 
         starts = self._run_reverse(survivors)
 
         # Stage 3: final coverage + traceback + checkCriteria
+        recs: list[AlnRecord | None] = []
         for (qk, tk, score, q_end, t_end, evalue), (q_start, t_start) in zip(
                 survivors, starts):
-            rec = self._finish_pair(qk, tk, score, q_start, q_end,
-                                    t_start, t_end, evalue)
-            if rec is not None:
-                accepted[qk].append(rec)
+            recs.append(self._finish_pair(qk, tk, score, q_start, q_end,
+                                          t_start, t_end, evalue))
 
-        # Stage 3: sort by compareHits
+        # Stage 4: per-query accept/reject state machine in prefilter order
+        accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in candidates}
+        for qk, lst in items.items():
+            passed = 0
+            rejected = 0
+            out = accepted[qk]
+            for kind, val in lst:
+                if passed >= par.max_accept or rejected >= par.max_rejected:
+                    break
+                rec = None
+                if kind == "acc":
+                    rec = val
+                elif kind == "pair":
+                    si = surv_of_pair.get(val)
+                    if si is not None:
+                        rec = recs[si]
+                if rec is not None:
+                    out.append(rec)
+                    passed += 1
+                    rejected = 0
+                else:
+                    rejected += 1
+
+        # Stage 5: alternative alignments on masked targets
+        if par.alt_alignments > 0:
+            self._compute_alt_alignments(accepted)
+
+        # Stage 6: sort by compareHits
         for qk in accepted:
             accepted[qk].sort(key=lambda r: (r.evalue, -r.score, r.tlen, r.tkey))
         return accepted
+
+    # ------------------------------------------------------------------
+    def _compute_alt_alignments(self, accepted: dict[int, list[AlnRecord]]
+                                ) -> None:
+        """computeAlternativeAlignment (Alignment.cpp:569-601): per
+        accepted non-identity hit, X-mask the aligned target region
+        [tstart, tend) (end column NOT masked — reference quirk) and
+        re-align up to --alt-ali times, stopping at the first failure."""
+        from ..constants import X_INDEX
+        par = self.par
+        for qk, out in accepted.items():
+            if qk in self.query_profiles:
+                continue
+            qlen = self._query_len(qk)
+            prof_full = self._row_profile(qk, qlen)
+            for rec in list(out):
+                if rec.tkey == qk and (par.include_identity or self.same_qt_db):
+                    continue
+                tseq = self._target_symbols(rec.tkey).copy()
+                tseq[rec.tstart:rec.tend] = X_INDEX
+                for _alt in range(par.alt_alignments):
+                    new = self._align_one_masked(qk, rec.tkey, prof_full,
+                                                 tseq)
+                    if new is None:
+                        break
+                    out.append(new)
+                    tseq[new.tstart:new.tend] = X_INDEX
+
+    def _align_one_masked(self, qk: int, tk: int, prof_full: np.ndarray,
+                          tseq: np.ndarray) -> AlnRecord | None:
+        """One full SW (forward + reverse + traceback + checkCriteria)
+        against an explicitly provided (masked) target."""
+        from ..ops.sw import sw_forward_from_profiles, sw_reverse_from_profiles
+        par = self.par
+        qlen = prof_full.shape[1]
+        tlen = len(tseq)
+        prof = prof_full[None].astype(np.int32)
+        tarr = tseq[None].astype(np.int32)
+        score, q_end, t_end = sw_forward_from_profiles(
+            prof, tarr, np.array([tlen], np.int32), np.array([qlen], np.int32),
+            par.gap_open, par.gap_extend)
+        score, q_end, t_end = int(score[0]), int(q_end[0]), int(t_end[0])
+        if t_end < 0:
+            return None
+        evalue = float(self.evaluer.compute_evalue(score, qlen))
+        if evalue > par.eval_thr:
+            return None
+        if not has_coverage(par.cov_thr, par.cov_mode,
+                            compute_cov(0, q_end, qlen),
+                            compute_cov(0, t_end, tlen)):
+            return None
+        rprof = np.zeros_like(prof_full)[None].astype(np.int32)
+        rprof[0, :, :q_end + 1] = prof_full[:, :q_end + 1][:, ::-1]
+        rt = tseq[:t_end + 1][::-1]
+        rtarr = np.zeros((1, tlen), np.int32)
+        rtarr[0, :len(rt)] = rt
+        _s, fj, fi, found = sw_reverse_from_profiles(
+            rprof, rtarr, np.array([len(rt)], np.int32),
+            np.array([q_end + 1], np.int32), np.array([score], np.int32),
+            par.gap_open, par.gap_extend)
+        if not found[0]:
+            return None
+        q_start, t_start = q_end - int(fi[0]), t_end - int(fj[0])
+        return self._finish_pair_masked(qk, tk, score, q_start, q_end,
+                                        t_start, t_end, evalue, tseq)
+
+    def _finish_pair_masked(self, qk, tk, score, q_start, q_end, t_start,
+                            t_end, evalue, tseq) -> AlnRecord | None:
+        par = self.par
+        qseq = self.qdb.sequence(qk)
+        qlen, tlen = len(qseq), len(tseq)
+        qcov = compute_cov(q_start, q_end, qlen)
+        tcov = compute_cov(t_start, t_end, tlen)
+        if not has_coverage(par.cov_thr, par.cov_mode, qcov, tcov):
+            return None
+        bias = self._bias(qk)
+        ops = banded_align(qseq[q_start:q_end + 1], tseq[t_start:t_end + 1],
+                           bias[q_start:q_end + 1],
+                           self.matrix.sub_int.astype(np.int8), score,
+                           par.gap_open, par.gap_extend)
+        aa_ids = 0
+        qp, tp = q_start, t_start
+        for op in ops:
+            if op == "M":
+                aa_ids += int(qseq[qp] == tseq[tp])
+                qp += 1
+                tp += 1
+            elif op == "I":
+                qp += 1
+            else:
+                tp += 1
+        aln_len = len(ops)
+        seq_id = np.float32(aa_ids) / np.float32(aln_len)
+        bit = int(self.evaluer.compute_bit_score(score) + 0.5)
+        if not (evalue <= par.eval_thr
+                and seq_id >= np.float32(par.seq_id_thr)
+                and aln_len >= par.aln_len_thr):
+            return None
+        return AlnRecord(tkey=tk, score=bit, seq_id=float(seq_id),
+                         evalue=evalue, qstart=q_start, qend=q_end, qlen=qlen,
+                         tstart=t_start, tend=t_end, tlen=tlen,
+                         backtrace=ops, raw_score=score,
+                         qcov=float(qcov), tcov=float(tcov))
 
     # ------------------------------------------------------------------
     def _device_db(self):
