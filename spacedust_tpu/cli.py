@@ -47,6 +47,9 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cluster-size", type=int, default=2)
     p.add_argument("--mask", type=int, default=1)
     p.add_argument("--comp-bias-corr", type=int, default=1)
+    p.add_argument("--split-memory-limit", type=int, default=0,
+                   help="bytes; bound the per-split k-mer index "
+                        "(out-of-core target splits), 0 = off")
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--search-mode", type=int, default=0,
                    help="0: sequence, 1: foldseek-mapped structure + "
@@ -99,6 +102,7 @@ def cmd_clustersearch(argv: list[str]) -> int:
         max_gene_gaps=a.max_gene_gap, cluster_size=a.cluster_size,
         p_clu_thr=a.cluster_pval, p_mh_thr=a.multihit_pval,
         mask=bool(a.mask), comp_bias_correction=bool(a.comp_bias_corr),
+        split_memory_limit=a.split_memory_limit,
         profile_cluster_search=a.profile_cluster_search,
         search_mode=a.search_mode)
     cdb = None

@@ -110,6 +110,10 @@ class ClusterSearchParams:
     p_mh_thr: float = 0.01
     mask: bool = True
     comp_bias_correction: bool = True
+    # --split-memory-limit (out-of-core target splits, the reference's
+    # memory model Prefiltering.cpp:273-377,662-723): bound the per-split
+    # k-mer index footprint; 0 = no splitting
+    split_memory_limit: int = 0
     # --profile-cluster-search (clustersearch.cpp:29-36): search against
     # the target's cluster-representative profiles, then expand hits to
     # cluster members (expandaln); e 1e-3, 100 results.
@@ -232,6 +236,35 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         records = structure_search(query_db, target_db, spar,
                                    same_qt_db=same_qt_db)
         timings["structure_search"] = time.time() - t0
+    elif par.split_memory_limit > 0:
+        # out-of-core: sequential residue-balanced target splits bounded
+        # by the memory budget; per-split hit lists are merged with the
+        # global re-threshold (parallel/pipeline.sharded_prefilter)
+        from ..parallel.split import splits_for_memory_budget
+        from ..parallel.pipeline import sharded_prefilter
+        t0 = time.time()
+        shards = splits_for_memory_budget(target_db.lengths,
+                                          par.split_memory_limit)
+        hits = sharded_prefilter(
+            query_db, target_db, shards, sensitivity=par.sensitivity,
+            max_seqs=par.max_seqs,
+            comp_bias_correction=par.comp_bias_correction, mask=par.mask,
+            cov_thr=par.cov_thr, cov_mode=par.cov_mode,
+            same_qt_db=same_qt_db)
+        candidates = {qk: [h.seq_id for h in hs] for qk, hs in hits.items()}
+        timings["prefilter"] = time.time() - t0
+
+        t0 = time.time()
+        aln_par = AlignmentParams(gap_open=par.gap_open,
+                                  gap_extend=par.gap_extend,
+                                  eval_thr=par.eval_thr, cov_thr=par.cov_thr,
+                                  cov_mode=par.cov_mode,
+                                  aln_len_thr=par.aln_len_thr,
+                                  comp_bias_correction=par.comp_bias_correction)
+        aln = AlignmentEngine(query_db, target_db, aln_par,
+                              same_qt_db=same_qt_db)
+        records = aln.align_all(candidates)
+        timings["align"] = time.time() - t0
     else:
         t0 = time.time()
         pref = PrefilterEngine(query_db, target_db,

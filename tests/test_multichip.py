@@ -85,3 +85,16 @@ def test_sharded_cluster_search_tsv_identical(small_db):
     sharded = sharded_cluster_search(db, db, par, mesh=mesh)
     assert sharded.tsv == single.tsv
     assert len(sharded.clusters) == len(single.clusters)
+
+
+def test_out_of_core_split_equivalence(small_db):
+    """--split-memory-limit forces sequential target splits whose merged
+    output equals the single-index run (Prefiltering.cpp:662-723)."""
+    from spacedust_tpu.workflow.clustersearch import (ClusterSearchParams,
+                                                      cluster_search)
+    db = small_db
+    base = cluster_search(db, db, ClusterSearchParams(filter_self_match=True))
+    budget = int(db.total_residues) * 3   # ~4 splits at 12 B/residue
+    split = cluster_search(db, db, ClusterSearchParams(
+        filter_self_match=True, split_memory_limit=budget))
+    assert split.tsv == base.tsv
