@@ -81,15 +81,25 @@ def prefixid(db: DBMap, as_tsv: bool = False,
 def filterdb(db: DBMap, trim_to_one_column: bool = False,
              extract_lines: int = 0, filter_column: int = 0,
              filter_regex: str | None = None,
+             filter_expression: str | None = None,
              positive_filter: bool = True) -> DBMap:
     """filterdb.cpp modes used by the workflows: --trim-to-one-column
     (keep first TAB field per line), --extract-lines N (first N lines),
     --filter-column C --filter-regex R (keep lines whose 1-based column C
-    matches R; negate with positive_filter=False)."""
+    matches R; negate with positive_filter=False), --filter-expression E
+    (tinyexpr analog with $N column variables; keep when E != 0,
+    filterdb.cpp:357-372)."""
     rx = re.compile(filter_regex) if filter_regex else None
+    expr = None
+    if filter_expression is not None:
+        from ..utils.expr import FilterExpression
+        expr = FilterExpression(filter_expression)
     out: DBMap = {}
     for key, text in db.items():
         lines = _lines(text)
+        if expr is not None:
+            lines = [ln for ln in lines
+                     if expr.evaluate(ln.split("\t")) != 0.0]
         if rx is not None:
             kept = []
             for ln in lines:
