@@ -376,6 +376,37 @@ def _run_search(qdb, tdb, a, same_qt_db: bool):
     return eng.align_all(cands)
 
 
+def _run_nucl_search(a) -> int:
+    """blastn-style nucleotide contig search (--search-type 3): FASTA in,
+    key-prefixed contig-coordinate alignment TSV out (search/nucl.py)."""
+    from .search.nucl import nucl_search
+
+    def read_contigs(path: str) -> dict[int, str]:
+        out: dict[int, str] = {}
+        cur: list[str] = []
+        for ln in open(path):
+            if ln.startswith(">"):
+                if cur:
+                    out[len(out)] = "".join(cur)
+                    cur = []
+            else:
+                cur.append(ln.strip())
+        if cur:
+            out[len(out)] = "".join(cur)
+        return out
+
+    q = read_contigs(a.query_db)
+    t = q if a.target_db == a.query_db else read_contigs(a.target_db)
+    res = nucl_search(q, t, eval_thr=a.eval_thr, max_seqs=a.max_seqs)
+    with open(a.output, "w") as fh:
+        for k in sorted(res):
+            for cols in res[k]:
+                fh.write(f"{k}\t" + "\t".join(cols) + "\n")
+    n = sum(len(v) for v in res.values())
+    print(f"search (nucleotide): {n} alignments -> {a.output}")
+    return 0
+
+
 def cmd_search(argv: list[str]) -> int:
     """Standalone homology search (the inherited `mmseqs search` surface,
     workflow/Search.cpp): setDB x setDB -> alignment records, written as
@@ -403,7 +434,12 @@ def cmd_search(argv: list[str]) -> int:
                    help="0: key-prefixed alignment TSV, 4: BLAST-tab "
                         "with column headers, 1: BLAST-tab")
     p.add_argument("--format-output", default=DEFAULT_FORMAT)
+    p.add_argument("--search-type", type=int, default=0,
+                   help="0/1: protein setDB search; 3: nucleotide contig "
+                        "search (query/target are FASTA files)")
     a = p.parse_args(argv)
+    if a.search_type == 3:
+        return _run_nucl_search(a)
     qdb = SetDB.load(a.query_db)
     tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
     records = _run_search(qdb, tdb, a, same_qt_db=a.target_db == a.query_db)
@@ -434,7 +470,12 @@ def cmd_convertalignments(argv: list[str]) -> int:
     p.add_argument("result_tsv", help="key-prefixed alignment lines")
     p.add_argument("out_m8")
     p.add_argument("--format-output", default=DEFAULT_FORMAT)
+    p.add_argument("--search-type", type=int, default=0,
+                   help="0/1: protein setDB search; 3: nucleotide contig "
+                        "search (query/target are FASTA files)")
     a = p.parse_args(argv)
+    if a.search_type == 3:
+        return _run_nucl_search(a)
     qdb = SetDB.load(a.query_db)
     tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
     records = {qk: [AlnRecord.parse("\t".join(cols[1:])) for cols in rows]

@@ -18,7 +18,8 @@ _LIB = None
 
 
 _SOURCES = ["banded_sw.cpp", "tantan.cpp", "simd_helpers.cpp",
-            "prefilter_engine.cpp", "clusterhits_engine.cpp"]
+            "prefilter_engine.cpp", "clusterhits_engine.cpp",
+            "nucl_align.cpp"]
 
 
 def _build() -> Path:
@@ -129,6 +130,13 @@ def get_lib() -> ctypes.CDLL:
         lib.fill_offset_table.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.nucl_banded_align.restype = ctypes.c_int
+        lib.nucl_banded_align.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int]
         lib.cluster_hits_engine.restype = ctypes.c_int
         lib.cluster_hits_engine.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -324,3 +332,27 @@ def cluster_hits_native(qpos, tpos, qstrand, tstrand, lookup,
         out.append([int(x) for x in members[off:off + sz]])
         off += sz
     return out, scores
+
+
+def nucl_banded_align(q: np.ndarray, t: np.ndarray, diagonal: int,
+                      mat: np.ndarray, gap_open: int = 5, gap_extend: int = 2,
+                      zdrop: int = 40, band: int = 64):
+    """BandedNucleotideAligner::align equivalent (native/nucl_align.cpp).
+    q must be strand-correct (reverse hits pass the reverse complement).
+    Returns (score, qstart, qend, tstart, tend, n_ident, ops)."""
+    lib = get_lib()
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int32)
+    out = np.zeros(9, dtype=np.int32)
+    cap = len(q) + len(t) + 8
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.nucl_banded_align(
+        _ptr(q, ctypes.c_uint8), len(q), _ptr(t, ctypes.c_uint8), len(t),
+        int(diagonal), _ptr(mat, ctypes.c_int32), mat.shape[0],
+        gap_open, gap_extend, zdrop, band,
+        _ptr(out, ctypes.c_int32), buf, cap)
+    if n < 0:
+        raise RuntimeError(f"nucl_banded_align failed: {n}")
+    return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
+            int(out[4]), int(out[5]), buf.raw[:n].decode("ascii"))
