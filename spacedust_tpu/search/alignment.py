@@ -68,6 +68,37 @@ def compute_cov(start: int, end: int, length: int) -> np.float32:
                       / np.float32(length))
 
 
+def _cov_vec(start: np.ndarray, end: np.ndarray, length: np.ndarray
+             ) -> np.ndarray:
+    return ((np.minimum(length, np.maximum(start, end))
+             - np.minimum(start, end) + 1).astype(np.float32)
+            / length.astype(np.float32))
+
+
+def _can_be_covered_vec(cov_thr: float, cov_mode: int, qlen: np.ndarray,
+                        tlen: np.ndarray) -> np.ndarray:
+    thr = np.float32(cov_thr)
+    if cov_mode == COV_MODE_BIDIRECTIONAL:
+        return (qlen / tlen >= thr) & (tlen / qlen >= thr)
+    if cov_mode == COV_MODE_QUERY:
+        return tlen / qlen >= thr
+    if cov_mode == COV_MODE_TARGET:
+        return qlen / tlen >= thr
+    return np.ones(len(qlen), dtype=bool)
+
+
+def _has_coverage_vec(cov_thr: float, cov_mode: int, qcov: np.ndarray,
+                      tcov: np.ndarray) -> np.ndarray:
+    thr = np.float32(cov_thr)
+    if cov_mode == COV_MODE_BIDIRECTIONAL:
+        return (qcov >= thr) & (tcov >= thr)
+    if cov_mode == COV_MODE_QUERY:
+        return qcov >= thr
+    if cov_mode == COV_MODE_TARGET:
+        return tcov >= thr
+    return np.ones(len(qcov), dtype=bool)
+
+
 @dataclass
 class AlignmentParams:
     gap_open: int = 11
@@ -147,17 +178,79 @@ class AlignmentEngine:
         return out
 
     # ------------------------------------------------------------------
+    def _qbias_all(self) -> np.ndarray:
+        """Whole-DB int8 composition bias, computed once natively
+        (comp_bias_batch), concatenated in seq_data layout."""
+        if getattr(self, "_qbias_arr", None) is None:
+            if (self.par.comp_bias_correction
+                    and abs(self.par.comp_bias_correction_scale - 1.0)
+                    < 1e-9):
+                from ..native import comp_bias_batch
+                qdb = self.qdb
+                self._qbias_arr = comp_bias_batch(
+                    np.ascontiguousarray(qdb.seq_data, dtype=np.uint8),
+                    np.ascontiguousarray(qdb.offsets[:-1], dtype=np.int64),
+                    np.ascontiguousarray(qdb.lengths, dtype=np.int32),
+                    np.ascontiguousarray(self.matrix.sub_int,
+                                         dtype=np.int32),
+                    np.ascontiguousarray(self.matrix.p_back,
+                                         dtype=np.float64))
+            else:
+                self._qbias_arr = False
+        return self._qbias_arr
+
     def _bias(self, qkey: int) -> np.ndarray:
         if qkey not in self._bias_cache:
             seq = self.qdb.sequence(qkey)
             if qkey in self.query_profiles:
                 self._bias_cache[qkey] = np.zeros(len(seq), dtype=np.int8)
             elif self.par.comp_bias_correction:
-                self._bias_cache[qkey] = composition_bias_int8(
-                    seq, self.matrix, self.par.comp_bias_correction_scale)
+                allb = self._qbias_all()
+                if allb is not False:
+                    o = self.qdb.offsets
+                    self._bias_cache[qkey] = allb[o[qkey]:o[qkey + 1]]
+                else:
+                    self._bias_cache[qkey] = composition_bias_int8(
+                        seq, self.matrix,
+                        self.par.comp_bias_correction_scale)
             else:
                 self._bias_cache[qkey] = np.zeros(len(seq), dtype=np.int8)
         return self._bias_cache[qkey]
+
+    def _identity_records_batch(self, qkeys: np.ndarray
+                                ) -> dict[int, AlnRecord]:
+        """Vectorized identity fast path for many queries (scoreIdentical
+        semantics; int16 raw accumulation is order-independent mod 2^16)."""
+        out: dict[int, AlnRecord] = {}
+        seq_keys = [int(qk) for qk in qkeys
+                    if int(qk) not in self.query_profiles]
+        for qk in qkeys:
+            if int(qk) in self.query_profiles:
+                out[int(qk)] = self._identity_record(int(qk))
+        if not seq_keys:
+            return out
+        qdb = self.qdb
+        raws = np.empty(len(seq_keys), dtype=np.int64)
+        for i, qk in enumerate(seq_keys):
+            seq = qdb.sequence(qk)
+            if self.par.comp_bias_correction:
+                bias = self._bias(qk).astype(np.int64)
+            else:
+                bias = 0
+            raws[i] = np.int16(
+                (self.matrix.sub_int[seq, seq].astype(np.int64) + bias)
+                .sum())
+        lens = qdb.lengths[np.asarray(seq_keys)].astype(np.int64)
+        evalues = self.evaluer.compute_evalue(raws, lens)
+        bits = (self.evaluer.compute_bit_score(raws) + 0.5).astype(np.int64)
+        for i, qk in enumerate(seq_keys):
+            L = int(lens[i])
+            out[qk] = AlnRecord(
+                tkey=qk, score=int(bits[i]), seq_id=1.0,
+                evalue=float(evalues[i]), qstart=0, qend=L - 1, qlen=L,
+                tstart=0, tend=L - 1, tlen=L, backtrace="M" * L,
+                raw_score=int(raws[i]), qcov=1.0, tcov=1.0)
+        return out
 
     def _identity_record(self, qkey: int) -> AlnRecord:
         seq = self.qdb.sequence(qkey)
@@ -236,41 +329,68 @@ class AlignmentEngine:
         # Stage 0: identity + coverage pre-check, collect SW pairs.
         # items[qk] keeps every candidate in prefilter order as
         # ('acc', record) / ('rej', None) / ('pair', pair list index).
+        # The coverage pre-check and identity records are vectorized
+        # across all candidates (the per-candidate Python loop dominates
+        # host time otherwise).
+        all_qk: list[int] = []
+        all_tk: list[int] = []
+        for qk, tkeys in candidates.items():
+            all_qk.extend([qk] * len(tkeys))
+            all_tk.extend(tkeys)
+        aqk = np.asarray(all_qk, dtype=np.int64)
+        atk = np.asarray(all_tk, dtype=np.int64)
+        covered = _can_be_covered_vec(par.cov_thr, par.cov_mode,
+                                      qlens_all[aqk].astype(np.float32),
+                                      tlens_all[atk].astype(np.float32))
+        is_ident = ((aqk == atk)
+                    if (par.include_identity or self.same_qt_db)
+                    else np.zeros(len(aqk), dtype=bool))
+        ident_recs = self._identity_records_batch(
+            np.unique(aqk[is_ident & covered]))
+
         items: dict[int, list] = {}
         pairs: list[tuple[int, int]] = []
+        ci = 0
         for qk, tkeys in candidates.items():
             lst = []
             for tk in tkeys:
-                if not can_be_covered(par.cov_thr, par.cov_mode,
-                                      int(qlens_all[qk]), int(tlens_all[tk])):
+                if not covered[ci]:
                     lst.append(("rej", None))
-                elif qk == tk and (par.include_identity or self.same_qt_db):
-                    lst.append(("acc", self._identity_record(qk)))
+                elif is_ident[ci]:
+                    lst.append(("acc", ident_recs[qk]))
                 else:
                     lst.append(("pair", len(pairs)))
                     pairs.append((qk, tk))
+                ci += 1
             items[qk] = lst
 
         # Stage 1: forward SW, bucketed
         fwd = self._run_forward(pairs)
 
         # Stage 2: E-value/end-coverage filters -> reverse-pass batch
-        survivors: list[tuple[int, int, int, int, int, float]] = []
+        # (vectorized: evaluer + coverage over all forward results)
         surv_of_pair: dict[int, int] = {}
-        for pi, ((qk, tk), (score, q_end, t_end)) in enumerate(zip(pairs, fwd)):
-            if t_end < 0:
-                continue
-            qlen = int(qlens_all[qk])
-            tlen = int(tlens_all[tk])
-            evalue = float(self.evaluer.compute_evalue(score, qlen))
-            if evalue > par.eval_thr:
-                continue  # would fail checkCriteria regardless of start
-            qcov0 = compute_cov(0, q_end, qlen)
-            tcov0 = compute_cov(0, t_end, tlen)
-            if not has_coverage(par.cov_thr, par.cov_mode, qcov0, tcov0):
-                continue  # ssw first coverage early-out
-            surv_of_pair[pi] = len(survivors)
-            survivors.append((qk, tk, score, q_end, t_end, evalue))
+        survivors: list[tuple[int, int, int, int, int, float]] = []
+        if pairs:
+            n = len(pairs)
+            pqk = np.fromiter((p[0] for p in pairs), np.int64, n)
+            ptk = np.fromiter((p[1] for p in pairs), np.int64, n)
+            scores = np.fromiter((f[0] for f in fwd), np.int64, n)
+            q_ends = np.fromiter((f[1] for f in fwd), np.int64, n)
+            t_ends = np.fromiter((f[2] for f in fwd), np.int64, n)
+            qlens = qlens_all[pqk].astype(np.int64)
+            tlens = tlens_all[ptk].astype(np.int64)
+            evalues = self.evaluer.compute_evalue(scores, qlens)
+            qcov0 = _cov_vec(np.zeros(n, np.int64), q_ends, qlens)
+            tcov0 = _cov_vec(np.zeros(n, np.int64), t_ends, tlens)
+            keep = ((t_ends >= 0) & (evalues <= par.eval_thr)
+                    & _has_coverage_vec(par.cov_thr, par.cov_mode,
+                                        qcov0, tcov0))
+            for pi in np.nonzero(keep)[0]:
+                surv_of_pair[int(pi)] = len(survivors)
+                survivors.append((int(pqk[pi]), int(ptk[pi]),
+                                  int(scores[pi]), int(q_ends[pi]),
+                                  int(t_ends[pi]), float(evalues[pi])))
 
         starts = self._run_reverse(survivors)
 
@@ -630,19 +750,15 @@ class AlignmentEngine:
         if not has_coverage(par.cov_thr, par.cov_mode, qcov, tcov):
             return None
 
-        # banded traceback in the rectangle
+        # banded traceback in the rectangle; identity count vectorized
         ops = self._traceback(qk, tk, q_start, q_end, t_start, t_end, score)
-        aa_ids = 0
-        qp, tp = q_start, t_start
-        for op in ops:
-            if op == "M":
-                aa_ids += int(qseq[qp] == tseq[tp])
-                qp += 1
-                tp += 1
-            elif op == "I":
-                qp += 1
-            else:
-                tp += 1
+        b = np.frombuffer(ops.encode(), dtype=np.uint8)
+        is_m = b == ord("M")
+        q_adv = is_m | (b == ord("I"))
+        t_adv = is_m | (b == ord("D"))
+        qp = q_start + np.cumsum(q_adv) - q_adv
+        tp = t_start + np.cumsum(t_adv) - t_adv
+        aa_ids = int((qseq[qp[is_m]] == tseq[tp[is_m]]).sum())
         aln_len = len(ops)
         seq_id = np.float32(aa_ids) / np.float32(aln_len)
         bit = int(self.evaluer.compute_bit_score(score) + 0.5)
