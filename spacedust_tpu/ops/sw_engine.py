@@ -141,3 +141,86 @@ class DeviceAlignDB:
                                    for i in range(len(r)))))
             col += b
         return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "reverse"))
+def _sw_bucket_struct(qss, qaa, tss, taa, m3di, aasc, qoff, qlen, toff, tlen,
+                      terminate, *, Lq: int, Lt: int, gap_open: int,
+                      gap_extend: int, reverse: bool):
+    """Structure-mode bucket: combined 3Di x AA scoring decomposed into
+    two 21-wide MXU dots (S = mat3di[q_ss, t_ss] + aa_scaled[q_aa, t_aa],
+    search/structure.py) over resident token arrays."""
+    iq = np.arange(Lq, dtype=np.int32)
+    it = np.arange(Lt, dtype=np.int32)
+    if reverse:
+        q_idx = qoff[:, None] + jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0)
+        t_idx = toff[:, None] + jnp.maximum(tlen[:, None] - 1 - it[None, :], 0)
+    else:
+        q_idx = qoff[:, None] + jnp.minimum(iq[None, :], qlen[:, None] - 1)
+        t_idx = toff[:, None] + jnp.minimum(it[None, :], tlen[:, None] - 1)
+
+    def prof_for(tokens, sub):
+        qt = tokens[q_idx].astype(jnp.int32)            # (B, Lq)
+        a = sub.shape[0]
+        onehot = (qt[:, :, None] ==
+                  np.arange(a, dtype=np.int32)[None, None, :]).astype(jnp.int8)
+        pr = jax.lax.dot_general(
+            onehot, sub.astype(jnp.int8),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return jnp.transpose(pr, (0, 2, 1))             # (B, A, Lq)
+
+    p1 = prof_for(qss, m3di)
+    p2 = prof_for(qaa, aasc)
+    t1 = tss[t_idx].astype(jnp.int32)
+    t2 = taa[t_idx].astype(jnp.int32)
+    return sw_scan_core(p1, t1, qlen, tlen, gap_open, gap_extend,
+                        terminate, t_tile=min(128, Lt),
+                        with_terminate=reverse, prof2=p2, tseq2=t2)
+
+
+class StructureDeviceDB:
+    """Device-resident 3Di + AA token arrays (structure search mode);
+    same run_buckets contract as DeviceAlignDB."""
+
+    def __init__(self, qss, qaa, tss, taa, m3di, aasc):
+        self.qss = jnp.asarray(qss.astype(np.int8))
+        self.qaa = jnp.asarray(qaa.astype(np.int8))
+        self.tss = jnp.asarray(tss.astype(np.int8))
+        self.taa = jnp.asarray(taa.astype(np.int8))
+        self.m3di = jnp.asarray(m3di.astype(np.int32))
+        self.aasc = jnp.asarray(aasc.astype(np.int32))
+
+    def run_buckets(self, jobs, gap_open: int, gap_extend: int,
+                    reverse: bool):
+        pending = []
+        for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
+            B = batch_width(lq, lt)
+            for s in range(0, len(qoff), B):
+                e = min(s + B, len(qoff))
+                pad = B - (e - s)
+                def padded(a, fill=0):
+                    c = a[s:e]
+                    return np.pad(c, (0, pad), constant_values=fill) if pad \
+                        else c
+                r = _sw_bucket_struct(
+                    self.qss, self.qaa, self.tss, self.taa,
+                    self.m3di, self.aasc,
+                    jnp.asarray(padded(qoff)), jnp.asarray(padded(qlen, 1)),
+                    jnp.asarray(padded(toff)), jnp.asarray(padded(tlen, 1)),
+                    jnp.asarray(padded(term)),
+                    Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend,
+                    reverse=reverse)
+                pending.append((pos[s:e], r))
+        if not pending:
+            return []
+        flat = np.asarray(_concat_results([r for _, r in pending]))
+        out, col = [], 0
+        for pos, r in pending:
+            b = r[0].shape[0]
+            out.append((pos, tuple(flat[i, col:col + len(pos)]
+                                   for i in range(len(r)))))
+            col += b
+        return out

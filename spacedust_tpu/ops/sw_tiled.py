@@ -48,10 +48,16 @@ def sw_scan_tiled(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
 
 
 def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
-                 t_tile: int = 128, with_terminate: bool = False):
+                 t_tile: int = 128, with_terminate: bool = False,
+                 prof2=None, tseq2=None):
     """prof: (B, A, Lq) int32; tseq: (B, Lt) int32. Lt % t_tile == 0.
     Returns (score, t_end, q_end) or terminate-column results, identical
-    to ops.sw._sw_scan.  Unjitted core so callers can fuse it."""
+    to ops.sw._sw_scan.  Unjitted core so callers can fuse it.
+
+    prof2/tseq2: optional second channel summed into the score grid —
+    S = prof[.., tseq] + prof2[.., tseq2]. Used by the structure mode
+    where the combined 3Di x AA score decomposes into two 21-wide MXU
+    dots (vastly cheaper than a 441-wide one-hot)."""
     B, A, Lq = prof.shape
     Lt = tseq.shape[1]
     assert Lt % t_tile == 0
@@ -61,20 +67,26 @@ def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
     ge = np.int32(gap_extend)
 
     prof_i8 = prof.astype(jnp.int8)                     # (B, A, Lq)
+    prof2_i8 = prof2.astype(jnp.int8) if prof2 is not None else None
     n_tiles = Lt // t_tile
+
+    def _score_tile(pr, ts, tile_idx):
+        t_slice = jax.lax.dynamic_slice_in_dim(ts, tile_idx * t_tile,
+                                               t_tile, axis=1)
+        a = pr.shape[1]
+        onehot = (t_slice[:, None, :] ==
+                  np.arange(a, dtype=np.int32)[None, :, None]).astype(jnp.int8)
+        return jax.lax.dot_general(
+            pr, onehot,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)            # (B, Lq, T)
 
     def tile_step(state, tile_idx):
         H, E, gmax, gj, gi, found, fj, fi = state
-        # one-hot of this target tile: (B, A, T)
-        t_slice = jax.lax.dynamic_slice_in_dim(tseq, tile_idx * t_tile,
-                                               t_tile, axis=1)
-        onehot = (t_slice[:, None, :] ==
-                  np.arange(A, dtype=np.int32)[None, :, None]).astype(jnp.int8)
-        # S[b, i, j] over the tile — MXU int8 dot
-        S = jax.lax.dot_general(
-            prof_i8, onehot,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)            # (B, Lq, T)
+        # S[b, i, j] over the tile — MXU int8 dot(s)
+        S = _score_tile(prof_i8, tseq, tile_idx)
+        if prof2_i8 is not None:
+            S = S + _score_tile(prof2_i8, tseq2, tile_idx)
 
         def col_step(carry, j):
             H, E, gmax, gj, gi, found, fj, fi = carry

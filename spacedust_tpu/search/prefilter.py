@@ -346,7 +346,8 @@ class PrefilterEngine:
                  query_profiles: dict[int, np.ndarray] | None = None,
                  index: "KmerIndex | None" = None,
                  seed_matrix_name: str = "vtml80_bf8_bias",
-                 ungapped_matrix_name: str = "blosum62_bf2_bias"):
+                 ungapped_matrix_name: str = "blosum62_bf2_bias",
+                 kmer_thr: int | None = None):
         """`query_profiles` maps query keys to (L, 20) int16 PSSM scores
         (the 8-bit-scaled profile_score rows, Sequence.cpp:241-264); such
         queries use per-position k-mer generation, the profile k-mer
@@ -358,8 +359,9 @@ class PrefilterEngine:
         # the prefilter builds matrices with scoreBias=-0.2 (Prefiltering.cpp:992)
         self.seed = load_pinned_matrix(seed_matrix_name)
         self.ungapped = load_pinned_matrix(ungapped_matrix_name)
-        self.kmer_thr = kmer_score_threshold(
-            sensitivity, profile=bool(self.query_profiles))
+        self.kmer_thr = (kmer_thr if kmer_thr is not None
+                         else kmer_score_threshold(
+                             sensitivity, profile=bool(self.query_profiles)))
         self.max_seqs = max_seqs
         self.min_diag_score = min_diag_score
         self.comp_bias = comp_bias_correction
@@ -592,6 +594,17 @@ class PrefilterEngine:
                                     score=int(o_score[base + i]),
                                     diagonal=int(o_diag[base + i]))
                        for i in range(n)]
+        # prefilter statistics (the printStatistics analog,
+        # Prefiltering.cpp:953-975)
+        counts = np.asarray(o_cnt[:len(seq_keys)], dtype=np.int64)
+        self.stats = {
+            "db_matches_per_seq": int(_raw) // max(1, len(seq_keys)),
+            "passed_per_seq": float(counts.mean()) if len(counts) else 0.0,
+            "median_result_list": int(np.median(counts)) if len(counts)
+            else 0,
+            "empty_lists": int((counts == 0).sum()),
+            "queries": len(seq_keys),
+        }
         return out
 
     def match_query(self, qkey: int) -> list[PrefilterHit]:

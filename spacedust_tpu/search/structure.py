@@ -89,6 +89,12 @@ class StructureSearchParams:
     (LocalParameters.h foldseeksearch list: -e 10, -c 0.8, cov-mode query,
     --max-seqs 300, backtrace)."""
     sensitivity: float = 9.5
+    # 3Di seed k-mer score threshold. The MMseqs2 sensitivity->threshold
+    # tables are calibrated for VTML80x8 and explode on the compressed
+    # 3Di score distribution (3-mer self-scores max 114 vs ~300); 120
+    # keeps the similar-k-mer beam at ~1e2 per window. Foldseek tunes
+    # its own seed thresholds; this is the native equivalent knob.
+    kmer_thr_3di: int = 120
     max_seqs: int = 300
     eval_thr: float = 10.0
     cov_thr: float = 0.8
@@ -112,6 +118,30 @@ class StructureAlignmentEngine(AlignmentEngine):
         self.m3di, self.aa_scaled, gumbel = combined_matrices()
         self.evaluer = EvalueComputation(target_db.total_residues, gumbel)
         self._prof_cache: dict[int, np.ndarray] = {}
+
+    def _device_db(self):
+        """Device-resident structure engine: two 21-wide score channels
+        (ops/sw_engine.StructureDeviceDB) instead of the 441-wide host
+        assembly — the accelerated path for --search-mode 1/2."""
+        if self._dev_tried:
+            return self._dev
+        self._dev_tried = True
+        import os
+        import jax
+        if (jax.default_backend() == "cpu"
+                and not os.environ.get("SPACEDUST_FORCE_DEVICE_ALIGN")):
+            return None
+        from ..ops.sw_engine import StructureDeviceDB
+        qdb, tdb = self.qdb, self.tdb
+        self._qoffs32 = qdb.offsets[:-1].astype(np.int32)
+        self._toffs32 = tdb.offsets[:-1].astype(np.int32)
+        self._dev = StructureDeviceDB(
+            np.ascontiguousarray(qdb.ss_data, dtype=np.uint8),
+            np.ascontiguousarray(qdb.seq_data, dtype=np.uint8),
+            np.ascontiguousarray(tdb.ss_data, dtype=np.uint8),
+            np.ascontiguousarray(tdb.seq_data, dtype=np.uint8),
+            self.m3di, self.aa_scaled)
+        return self._dev
 
     # combined symbol = ss*21 + aa
     def _target_symbols(self, tk: int) -> np.ndarray:
@@ -187,7 +217,8 @@ def structure_search(query_db: SetDB, target_db: SetDB,
                            mask=par.mask,
                            cov_thr=par.cov_thr, cov_mode=par.cov_mode,
                            seed_matrix_name="mat3di_bf8_bias",
-                           ungapped_matrix_name="mat3di")
+                           ungapped_matrix_name="mat3di",
+                           kmer_thr=par.kmer_thr_3di)
     cands = {qk: [h.seq_id for h in hits]
              for qk, hits in pref.match_all().items()}
 

@@ -280,6 +280,14 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         candidates = {qk: [h.seq_id for h in hits]
                       for qk, hits in pref.match_all().items()}
         timings["prefilter"] = time.time() - t0
+        stats = getattr(pref, "stats", None)
+        if stats:
+            from ..utils import log
+            log.info(
+                f"{stats['db_matches_per_seq']} DB matches per sequence; "
+                f"{stats['passed_per_seq']:.1f} sequences passed "
+                f"prefiltering per query ({stats['median_result_list']} "
+                f"median, {stats['empty_lists']} empty)")
 
         t0 = time.time()
         aln_par = AlignmentParams(gap_open=par.gap_open,
