@@ -130,6 +130,19 @@ def get_lib() -> ctypes.CDLL:
         lib.fill_offset_table.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.banded_align_batch.restype = ctypes.c_int
+        lib.banded_align_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.nucl_banded_align.restype = ctypes.c_int
         lib.nucl_banded_align.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -356,3 +369,42 @@ def nucl_banded_align(q: np.ndarray, t: np.ndarray, diagonal: int,
         raise RuntimeError(f"nucl_banded_align failed: {n}")
     return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
             int(out[4]), int(out[5]), buf.raw[:n].decode("ascii"))
+
+
+def banded_align_batch(qdata, qoffs, tdata, toffs, bias_data, mat_int8,
+                       qk, tk, qstart, qend, tstart, tend, score,
+                       gap_open: int = 11, gap_extend: int = 1):
+    """Batched banded tracebacks (OpenMP over pairs). Returns
+    (ops_list, n_ident array); raises on any failed traceback."""
+    lib = get_lib()
+    n = len(qk)
+    qk = np.ascontiguousarray(qk, dtype=np.int32)
+    tk = np.ascontiguousarray(tk, dtype=np.int32)
+    qstart = np.ascontiguousarray(qstart, dtype=np.int32)
+    qend = np.ascontiguousarray(qend, dtype=np.int32)
+    tstart = np.ascontiguousarray(tstart, dtype=np.int32)
+    tend = np.ascontiguousarray(tend, dtype=np.int32)
+    score = np.ascontiguousarray(score, dtype=np.int32)
+    caps = ((qend - qstart + 1).astype(np.int64)
+            + (tend - tstart + 1).astype(np.int64) + 8)
+    out_offs = np.concatenate(([0], np.cumsum(caps)))
+    out_ops = ctypes.create_string_buffer(int(out_offs[-1]))
+    out_len = np.empty(n, dtype=np.int32)
+    out_ident = np.empty(n, dtype=np.int32)
+    bad = lib.banded_align_batch(
+        _ptr(qdata, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
+        _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
+        _ptr(bias_data, ctypes.c_int8),
+        _ptr(mat_int8, ctypes.c_int8), mat_int8.shape[0],
+        n, _ptr(qk, ctypes.c_int32), _ptr(tk, ctypes.c_int32),
+        _ptr(qstart, ctypes.c_int32), _ptr(qend, ctypes.c_int32),
+        _ptr(tstart, ctypes.c_int32), _ptr(tend, ctypes.c_int32),
+        _ptr(score, ctypes.c_int32), gap_open, gap_extend,
+        _ptr(out_offs, ctypes.c_int64), out_ops,
+        _ptr(out_len, ctypes.c_int32), _ptr(out_ident, ctypes.c_int32))
+    if bad:
+        raise RuntimeError(f"banded_align_batch: {bad} failed tracebacks")
+    raw = out_ops.raw
+    ops = [raw[int(out_offs[i]):int(out_offs[i]) + int(out_len[i])]
+           .decode("ascii") for i in range(n)]
+    return ops, out_ident

@@ -174,6 +174,51 @@ int banded_align_profile(const uint8_t* t, int q_len, int t_len,
                              gap_extend, band_width, out_ops, out_cap);
 }
 
+// Batched traceback: one call for all survivors of an alignment stage,
+// OpenMP-parallel over pairs (the per-call Python/ctypes overhead and
+// serial host time dominate otherwise). Inputs are the full sequence /
+// bias arrays plus per-pair rectangle descriptors; CIGARs are written
+// into per-pair slices of out_ops (each capped at q_span + t_span + 8).
+// n_ident (match-state identity count) and the op length are returned
+// per pair so the caller skips the op walk entirely.
+int banded_align_batch(const uint8_t* qdata, const int64_t* qoffs,
+                       const uint8_t* tdata, const int64_t* toffs,
+                       const int8_t* bias_data,
+                       const int8_t* mat, int alpha_size,
+                       int n, const int32_t* qk, const int32_t* tk,
+                       const int32_t* qstart, const int32_t* qend,
+                       const int32_t* tstart, const int32_t* tend,
+                       const int32_t* score,
+                       int gap_open, int gap_extend,
+                       const int64_t* out_offs, char* out_ops,
+                       int32_t* out_len, int32_t* out_ident) {
+    int bad = 0;
+#pragma omp parallel for schedule(dynamic, 16) reduction(+:bad)
+    for (int i = 0; i < n; ++i) {
+        const uint8_t* q = qdata + qoffs[qk[i]] + qstart[i];
+        const uint8_t* t = tdata + toffs[tk[i]] + tstart[i];
+        const int8_t* bias = bias_data + qoffs[qk[i]] + qstart[i];
+        const int q_len = qend[i] - qstart[i] + 1;
+        const int t_len = tend[i] - tstart[i] + 1;
+        const int band = (q_len > t_len ? q_len - t_len : t_len - q_len) + 1;
+        char* out = out_ops + out_offs[i];
+        const int cap = (int)(out_offs[i + 1] - out_offs[i]);
+        int len = banded_align_impl(q, t, bias, q_len, t_len, mat,
+                                    alpha_size, NULL, 0, 0, score[i],
+                                    gap_open, gap_extend, band, out, cap);
+        if (len < 0) { bad++; out_len[i] = -1; continue; }
+        out_len[i] = len;
+        int ids = 0, qp = 0, tp = 0;
+        for (int c = 0; c < len; ++c) {
+            if (out[c] == 'M') { ids += (q[qp] == t[tp]); ++qp; ++tp; }
+            else if (out[c] == 'I') ++qp;
+            else ++tp;
+        }
+        out_ident[i] = ids;
+    }
+    return bad;
+}
+
 // Wide-alphabet profile variant (uint16 target symbols) for the combined
 // 3Di x amino-acid alphabet of the structure-alignment mode (441 symbols:
 // symbol = ss*21 + aa).

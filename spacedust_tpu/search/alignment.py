@@ -395,11 +395,7 @@ class AlignmentEngine:
         starts = self._run_reverse(survivors)
 
         # Stage 3: final coverage + traceback + checkCriteria
-        recs: list[AlnRecord | None] = []
-        for (qk, tk, score, q_end, t_end, evalue), (q_start, t_start) in zip(
-                survivors, starts):
-            recs.append(self._finish_pair(qk, tk, score, q_start, q_end,
-                                          t_start, t_end, evalue))
+        recs = self._finish_pairs(survivors, starts)
 
         # Stage 4: per-query accept/reject state machine in prefilter order
         accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in candidates}
@@ -717,6 +713,77 @@ class AlignmentEngine:
                             f"forward/backward SW scores differ for q={qk} t={tk}")
                     out[sidx] = (q_end - int(fi[bi]), t_end - int(fj[bi]))
         return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def _finish_pairs(self, survivors, starts) -> list["AlnRecord | None"]:
+        """Stage-3 driver: vectorized coverage gate, one batched native
+        traceback call for all sequence-mode pairs (OpenMP over pairs),
+        scalar fallback for profile queries / overridden tracebacks."""
+        n = len(survivors)
+        if n == 0:
+            return []
+        base_tb = type(self)._traceback is AlignmentEngine._traceback
+        bias_ok = (not self.par.comp_bias_correction
+                   or self._qbias_all() is not False)
+        use_batch = base_tb and not self.query_profiles and bias_ok
+        if not use_batch:
+            return [self._finish_pair(qk, tk, score, q_start, q_end,
+                                      t_start, t_end, evalue)
+                    for (qk, tk, score, q_end, t_end, evalue),
+                        (q_start, t_start) in zip(survivors, starts)]
+        par = self.par
+        qk = np.fromiter((s[0] for s in survivors), np.int64, n)
+        tk = np.fromiter((s[1] for s in survivors), np.int64, n)
+        score = np.fromiter((s[2] for s in survivors), np.int64, n)
+        q_end = np.fromiter((s[3] for s in survivors), np.int64, n)
+        t_end = np.fromiter((s[4] for s in survivors), np.int64, n)
+        evalue = np.fromiter((s[5] for s in survivors), np.float64, n)
+        q_start = np.fromiter((p[0] for p in starts), np.int64, n)
+        t_start = np.fromiter((p[1] for p in starts), np.int64, n)
+        qlen = self.qdb.lengths[qk].astype(np.int64)
+        tlen = self.tdb.lengths[tk].astype(np.int64)
+        qcov = _cov_vec(q_start, q_end, qlen)
+        tcov = _cov_vec(t_start, t_end, tlen)
+        cov_ok = _has_coverage_vec(par.cov_thr, par.cov_mode, qcov, tcov)
+        sel = np.nonzero(cov_ok)[0]
+        recs: list[AlnRecord | None] = [None] * n
+        if len(sel) == 0:
+            return recs
+        from ..native import banded_align_batch
+        if par.comp_bias_correction:
+            bias_data = self._qbias_all()
+        else:
+            bias_data = np.zeros(len(self.qdb.seq_data), dtype=np.int8)
+        ops_list, idents = banded_align_batch(
+            np.ascontiguousarray(self.qdb.seq_data, dtype=np.uint8),
+            np.ascontiguousarray(self.qdb.offsets[:-1], dtype=np.int64),
+            np.ascontiguousarray(self.tdb.seq_data, dtype=np.uint8),
+            np.ascontiguousarray(self.tdb.offsets[:-1], dtype=np.int64),
+            np.ascontiguousarray(bias_data, dtype=np.int8),
+            self.matrix.sub_int.astype(np.int8),
+            qk[sel], tk[sel], q_start[sel], q_end[sel],
+            t_start[sel], t_end[sel], score[sel],
+            par.gap_open, par.gap_extend)
+        bits = (self.evaluer.compute_bit_score(score[sel])
+                + 0.5).astype(np.int64)
+        for bi, si in enumerate(sel):
+            ops = ops_list[bi]
+            aln_len = len(ops)
+            seq_id = np.float32(int(idents[bi])) / np.float32(aln_len)
+            # checkCriteria (Alignment.cpp:548-567)
+            if not (evalue[si] <= par.eval_thr
+                    and seq_id >= np.float32(par.seq_id_thr)
+                    and aln_len >= par.aln_len_thr):
+                continue
+            recs[si] = AlnRecord(
+                tkey=int(tk[si]), score=int(bits[bi]),
+                seq_id=float(seq_id), evalue=float(evalue[si]),
+                qstart=int(q_start[si]), qend=int(q_end[si]),
+                qlen=int(qlen[si]), tstart=int(t_start[si]),
+                tend=int(t_end[si]), tlen=int(tlen[si]), backtrace=ops,
+                raw_score=int(score[si]), qcov=float(qcov[si]),
+                tcov=float(tcov[si]))
+        return recs
 
     # ------------------------------------------------------------------
     def _traceback(self, qk: int, tk: int, q_start: int, q_end: int,
