@@ -35,8 +35,10 @@ from .sw_tiled import sw_scan_core
 
 configure_jax()
 
-LADDER = (128, 512, 2048, 8192, 32768)
-_BATCH_FOR_RUNG = {128: 2048, 512: 2048, 2048: 512, 8192: 128, 32768: 16}
+LADDER = (128, 256, 384, 512, 768, 1024, 1536, 2048, 4096, 8192, 32768)
+_BATCH_FOR_RUNG = {128: 2048, 256: 2048, 384: 2048, 512: 2048, 768: 1024,
+                   1024: 1024, 1536: 512, 2048: 512, 4096: 256, 8192: 128,
+                   32768: 16}
 
 
 def bucket_len(x: int) -> int:
@@ -81,9 +83,27 @@ def _sw_bucket(qdata, qbias, tdata, sub, qoff, qlen, toff, tlen, terminate,
         preferred_element_type=jnp.int32)
     prof = prof + qb[:, :, None]
     prof = jnp.transpose(prof, (0, 2, 1))          # (B, A, Lq)
+    B = qoff.shape[0]
+    if _use_pallas() and Lq <= 8192 and B * Lq * Lt <= (1 << 30) * 3 // 2:
+        # (the materialized S grid must fit HBM comfortably; rare huge
+        # buckets fall back to the XLA scan)
+        from .sw_pallas import score_grid, sw_scan_pallas
+        S = score_grid(prof, tt)
+        return sw_scan_pallas(S, qlen, tlen, terminate, gap_open,
+                              gap_extend, with_terminate=reverse)
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
                         with_terminate=reverse)
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    """The Pallas scan (VMEM-resident DP state) runs on real TPUs; the
+    XLA core remains the path for CPU tests (and SPACEDUST_NO_PALLAS)."""
+    import os
+    if os.environ.get("SPACEDUST_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _concat_results(rs):

@@ -1,0 +1,197 @@
+"""Pallas TPU kernel for the batched Smith-Waterman column scan.
+
+The XLA formulation (ops/sw_tiled.sw_scan_core) carries the DP state
+(H, E — (B, Lq) int32 each) through a lax.scan whose per-column carry
+round-trips HBM; measured throughput tops out at a few GCUPS. This
+kernel keeps the state resident in VMEM scratch across a sequential
+grid walk over target tiles, so per-column work is pure VPU:
+
+  grid = (B / BT, Lt / TT)   — TPU grids run sequentially, so VMEM
+                               scratch persists along the Lt dimension
+  S blocks (TT, BT, Lq) int8 stream HBM->VMEM via the BlockSpec
+  pipeline (column-leading so the per-column slice is a leading-dim
+  index); the substitution grid S[j,b,i] = prof[b, :, i].onehot(t[b,j])
+  is produced OUTSIDE by one MXU einsum (cheap, exact in int8).
+
+The math is bit-identical to sw_scan_core: Kadane clamp at 0, the
+log-depth max-plus F scan, first-maximum argmax per column, strict->
+global-best update, and the terminate-column semantics of the reverse
+pass (StripedSmithWaterman.cpp:354-461 equivalents).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(1 << 30)
+
+
+def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
+            score_ref, gj_ref, gi_ref, fnd_ref, fj_ref, fi_ref,
+            h_scr, e_scr, gmax_scr, gj_scr, gi_scr, fnd_scr, fj_scr, fi_scr,
+            *, TT: int, Lq: int, gap_open: int, gap_extend: int,
+            with_terminate: bool):
+    j_tile = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(j_tile == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        e_scr[:] = jnp.full_like(e_scr, NEG)
+        gmax_scr[:] = jnp.zeros_like(gmax_scr)
+        gj_scr[:] = jnp.full_like(gj_scr, -1)
+        gi_scr[:] = jnp.zeros_like(gi_scr)
+        fnd_scr[:] = jnp.zeros_like(fnd_scr)
+        fj_scr[:] = jnp.full_like(fj_scr, -1)
+        fi_scr[:] = jnp.zeros_like(fi_scr)
+
+    qlens = qlens_ref[:]                      # (BT, 1) int32
+    tlens = tlens_ref[:]                      # (BT, 1)
+    term = term_ref[:]
+    BT = qlens.shape[0]
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (BT, Lq), 1)
+    row_valid = iota_q < qlens                # (BT, Lq)
+    go = jnp.int32(gap_open)
+    ge = jnp.int32(gap_extend)
+    ge_i = ge * iota_q
+
+    def col_step(jj, carry):
+        # every per-pair carry stays 2-D (BT, 1) int32 — 1-D/bool loop
+        # carries fail Mosaic's scf.for legalization
+        H, E, gmax, gj, gi, found, fj, fi = carry
+        col = j_tile * TT + jj
+        s_col = s_ref[jj].astype(jnp.int32)
+        s_col = jnp.where(row_valid, s_col, NEG)
+        diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
+        E_new = jnp.maximum(E - ge, H - go)
+        Hbase = jnp.maximum(jnp.maximum(diag + s_col, 0), E_new)
+        # F via log-depth running max of (Hbase + ge*i) shifted right once
+        x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
+                    constant_values=NEG)
+        shift = 1
+        while shift < Lq:
+            x = jnp.maximum(x, jnp.pad(x[:, :-shift], ((0, 0), (shift, 0)),
+                                       constant_values=NEG))
+            shift *= 2
+        F = x - go - (ge_i - ge)
+        H_new = jnp.where(row_valid, jnp.maximum(Hbase, F), 0)
+
+        col_valid = (col < tlens)             # (BT, 1)
+        H_out = jnp.where(col_valid, H_new, H)
+        E_out = jnp.where(col_valid, E_new, E)
+
+        Hmasked = jnp.where(row_valid, H_new, -1)
+        cmax = jnp.max(Hmasked, axis=1, keepdims=True)       # (BT, 1)
+        # first-maximum argmax (Mosaic lacks integer argmax)
+        ci = jnp.min(jnp.where(Hmasked == cmax, iota_q, jnp.int32(Lq)),
+                     axis=1, keepdims=True).astype(jnp.int32)
+        better = col_valid & (cmax > gmax)
+        gmax = jnp.where(better, cmax, gmax)
+        gj = jnp.where(better, col, gj)
+        gi = jnp.where(better, ci, gi)
+        if with_terminate:
+            hit = col_valid & (found == 0) & (cmax == term)
+            fj = jnp.where(hit, col, fj)
+            fi = jnp.where(hit, ci, fi)
+            found = jnp.where(hit, 1, found)
+        return (H_out, E_out, gmax, gj, gi, found, fj, fi)
+
+    carry = (h_scr[:], e_scr[:], gmax_scr[:], gj_scr[:], gi_scr[:],
+             fnd_scr[:], fj_scr[:], fi_scr[:])
+    carry = jax.lax.fori_loop(0, TT, col_step, carry)
+    H, E, gmax, gj, gi, found, fj, fi = carry
+    h_scr[:] = H
+    e_scr[:] = E
+    gmax_scr[:] = gmax
+    gj_scr[:] = gj
+    gi_scr[:] = gi
+    fnd_scr[:] = found
+    fj_scr[:] = fj
+    fi_scr[:] = fi
+
+    @pl.when(j_tile == n_tiles - 1)
+    def _emit():
+        score_ref[:] = gmax
+        gj_ref[:] = gj
+        gi_ref[:] = gi
+        fnd_ref[:] = found
+        fj_ref[:] = fj
+        fi_ref[:] = fi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_open", "gap_extend", "with_terminate", "bt", "tt",
+                     "interpret"))
+def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
+                   gap_extend: int, with_terminate: bool = False,
+                   bt: int = 128, tt: int | None = None,
+                   interpret: bool = False):
+    """S: (Lt, B, Lq) int8 substitution grid (column-major leading dim
+    so the per-column slice is a leading-dim index); per-pair lens
+    int32. Returns (score, t_end, q_end) or (score, fj, fi, found)."""
+    Lt, B, Lq = S.shape
+    # VMEM budget: the kernel keeps ~10 live (BT, Lq) int32 arrays
+    # (H/E scratch + loop temporaries) plus the double-buffered S block
+    # inside the 16 MB VMEM; size BT and TT accordingly.
+    BT = min(bt, B)
+    while BT > 8 and BT * Lq * 4 * 10 > 8 * 1024 * 1024:
+        BT //= 2
+    if tt is None:
+        tt = 128
+        while tt > 8 and 2 * tt * BT * Lq > 4 * 1024 * 1024:
+            tt //= 2
+    TT = min(tt, Lt)
+    assert B % BT == 0 and Lt % TT == 0
+    grid = (B // BT, Lt // TT)
+
+    kern = functools.partial(_kernel, TT=TT, Lq=Lq, gap_open=gap_open,
+                             gap_extend=gap_extend,
+                             with_terminate=with_terminate)
+    vec = lambda: pl.BlockSpec((BT, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((B, 1), jnp.int32)] * 6
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[vec(), vec(), vec(),
+                  pl.BlockSpec((TT, BT, Lq), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[vec() for _ in range(6)],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((BT, Lq), jnp.int32),     # H
+            pltpu.VMEM((BT, Lq), jnp.int32),     # E
+            pltpu.VMEM((BT, 1), jnp.int32),      # gmax
+            pltpu.VMEM((BT, 1), jnp.int32),      # gj
+            pltpu.VMEM((BT, 1), jnp.int32),      # gi
+            pltpu.VMEM((BT, 1), jnp.int32),      # found
+            pltpu.VMEM((BT, 1), jnp.int32),      # fj
+            pltpu.VMEM((BT, 1), jnp.int32),      # fi
+        ],
+        interpret=interpret,
+    )(qlens.reshape(B, 1), tlens.reshape(B, 1),
+      terminate.reshape(B, 1), S)
+    score, gj, gi, fnd, fj, fi = [o[:, 0] for o in outs]
+    if with_terminate:
+        return score, fj, fi, fnd != 0
+    return score, gj, gi
+
+
+def score_grid(prof, tseq):
+    """S[j, b, i] = prof[b, :, i] . onehot(tseq[b, j]) via one MXU int8
+    einsum, transposed column-leading; cast to int8 (scores fit)."""
+    A = prof.shape[1]
+    onehot = (tseq[:, None, :] ==
+              np.arange(A, dtype=np.int32)[None, :, None]).astype(jnp.int8)
+    S = jax.lax.dot_general(
+        onehot, prof.astype(jnp.int8),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)       # (B, Lt, Lq)
+    return jnp.transpose(S.astype(jnp.int8), (1, 0, 2))
