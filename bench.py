@@ -131,6 +131,12 @@ def main() -> None:
                                      / V5E_INT8_TOPS, 4)
         extra["sw_vs_1core_ssw"] = round(gcups / BASELINE_SSW_GCUPS, 1)
 
+    def _r(v):
+        if isinstance(v, dict):
+            return {k: (round(x, 3) if isinstance(x, float) else x)
+                    for k, x in v.items()}
+        return round(v, 2)
+
     if e2e is not None and e2e.get("hits") == 308:
         speedup = REF_E2E_SECONDS / e2e["total_s"]
         print(json.dumps({
@@ -139,7 +145,7 @@ def main() -> None:
             "unit": "x (ref 15.7s, 2-core host binary)",
             "vs_baseline": round(speedup, 3),
             "e2e_seconds": round(e2e["total_s"], 2),
-            "stage_seconds": {k: round(v, 2)
+            "stage_seconds": {k: _r(v)
                               for k, v in e2e["timings"].items()},
             "hits": e2e["hits"], "clusters": e2e["clusters"],
             **extra,

@@ -126,6 +126,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_uint8,                   # mask_to
             ctypes.POINTER(ctypes.c_float),   # probs_out (nullable)
         ]
+        lib.build_kmer_index.restype = ctypes.c_int
+        lib.build_kmer_index.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
         lib.fill_offset_table.restype = ctypes.c_int
         lib.fill_offset_table.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -261,6 +269,36 @@ def fill_offset_table(uk: np.ndarray, cnt: np.ndarray,
         ctypes.c_int64(len(uk)),
         _ptr(table, ctypes.c_int32), ctypes.c_int64(table_size))
     return table
+
+
+def build_kmer_index(tdata: np.ndarray, toffs: np.ndarray,
+                     tlens: np.ndarray, diag_scores: np.ndarray,
+                     x_index: int, kmer_thr: int):
+    """Two-pass parallel k-mer index build (IndexBuilder::fillDatabase
+    analog). Returns (kmers, seq_ids, positions, offsets) in the exact
+    (kmer, seq, pos) posting order of the host lexsort build."""
+    lib = get_lib()
+    tdata = np.ascontiguousarray(tdata, dtype=np.uint8)
+    toffs = np.ascontiguousarray(toffs, dtype=np.int64)
+    tlens = np.ascontiguousarray(tlens, dtype=np.int32)
+    diag_scores = np.ascontiguousarray(diag_scores, dtype=np.int32)
+    cap = int(np.maximum(tlens.astype(np.int64) - 9, 0).sum())
+    out_kmer = np.empty(max(cap, 1), dtype=np.int32)
+    out_seq = np.empty(max(cap, 1), dtype=np.int32)
+    out_pos = np.empty(max(cap, 1), dtype=np.int32)
+    offsets = np.empty(20 ** 6 + 1, dtype=np.int32)
+    n_out = ctypes.c_int64(0)
+    rc = lib.build_kmer_index(
+        _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
+        _ptr(tlens, ctypes.c_int32), len(tlens),
+        _ptr(diag_scores, ctypes.c_int32), int(x_index), int(kmer_thr),
+        _ptr(out_kmer, ctypes.c_int32), _ptr(out_seq, ctypes.c_int32),
+        _ptr(out_pos, ctypes.c_int32), ctypes.byref(n_out),
+        _ptr(offsets, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError(f"build_kmer_index failed: {rc}")
+    n = int(n_out.value)
+    return out_kmer[:n], out_seq[:n], out_pos[:n], offsets
 
 
 def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,

@@ -385,6 +385,148 @@ int prefilter_match_batch(
   return 0;
 }
 
+// Two-pass parallel k-mer index build (IndexBuilder::fillDatabase analog,
+// lib/mmseqs/src/prefiltering/IndexBuilder.cpp two-pass count+fill, redone
+// for the columnar SetDB layout):
+//   pass A: per sequence, enumerate valid spaced 6-mers in position order,
+//           dedup per sequence (first occurrence wins = min position,
+//           IndexTable.h:332-345) and histogram per thread;
+//   pass B: fuse the per-thread histograms into the dense offset table
+//           (exclusive prefix) and per-thread write cursors;
+//   pass C: replay each thread's deduped windows into the posting arrays.
+// Threads own contiguous residue-balanced sequence ranges, so the final
+// posting order is exactly (kmer, seq, pos) — bit-identical to the
+// lexsort-based host build it replaces.
+int build_kmer_index(
+    const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
+    const int32_t* diag_scores, int x_index, int kmer_thr,
+    int32_t* out_kmer, int32_t* out_seq, int32_t* out_pos, int64_t* n_out,
+    int32_t* offsets /* 20^6 + 1 entries */) {
+  constexpr int64_t kTable = 64000000;  // 20^6
+  int nthreads = 1;
+#if defined(_OPENMP)
+  nthreads = omp_get_max_threads();
+#endif
+  if (nthreads < 1) nthreads = 1;
+
+  // residue-balanced contiguous partition of sequences
+  std::vector<int> part(nthreads + 1, nt);
+  {
+    int64_t total = nt ? toffs[nt - 1] + tlens[nt - 1] : 0;
+    part[0] = 0;
+    int s = 0;
+    for (int t = 1; t < nthreads; ++t) {
+      const int64_t want = total * t / nthreads;
+      while (s < nt && toffs[s] < want) ++s;
+      part[t] = s;
+    }
+    part[nthreads] = nt;
+  }
+
+  // counts accumulate into offsets[k + 1] (caller-allocated, one shared
+  // 256 MB table with atomic adds — contention is negligible over the
+  // 64M-bin space and this halves the committed memory vs per-thread
+  // histograms)
+  std::memset(offsets, 0, (kTable + 1) * sizeof(int32_t));
+  // per-thread deduped windows: (kmer, pos) pairs + per-seq counts
+  std::vector<std::vector<int32_t>> wkmer(nthreads), wpos(nthreads);
+  std::vector<std::vector<int32_t>> wcnt(nthreads);
+
+#pragma omp parallel num_threads(nthreads)
+  {
+#if defined(_OPENMP)
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    std::vector<int32_t>& wk = wkmer[tid];
+    std::vector<int32_t>& wp = wpos[tid];
+    // open-addressing seen-set (kmer+1 keys, 0 = empty) with used-slot
+    // tracking so the per-sequence reset is O(#inserted)
+    uint32_t cap = 1;
+    std::vector<int32_t> seen;
+    std::vector<uint32_t> used;
+    for (int si = part[tid]; si < part[tid + 1]; ++si) {
+      const uint8_t* s = tdata + toffs[si];
+      const int L = tlens[si];
+      const int nw = L - kSpan + 1;
+      const size_t before = wk.size();
+      if (nw <= 0) { wcnt[tid].push_back(0); continue; }
+      uint32_t need = 1;
+      while (need < static_cast<uint32_t>(nw) * 2) need <<= 1;
+      if (need > cap) {
+        cap = need;
+        seen.assign(cap, 0);
+        used.clear();
+      } else {
+        for (uint32_t u : used) seen[u] = 0;
+        used.clear();
+      }
+      for (int w = 0; w < nw; ++w) {
+        int32_t packed = 0, self = 0;
+        bool ok = true;
+        int32_t mult = 1;
+        for (int k = 0; k < kK; ++k) {
+          const int r = s[w + kPattern[k]];
+          if (r == x_index) { ok = false; break; }
+          packed += r * mult;
+          mult *= 20;
+          self += diag_scores[r];
+        }
+        if (!ok || (kmer_thr > 0 && self < kmer_thr)) continue;
+        // first-occurrence dedup per sequence
+        uint32_t slot = (static_cast<uint32_t>(packed) * 2654435761u)
+                        & (cap - 1);
+        bool dup = false;
+        while (seen[slot] != 0) {
+          if (seen[slot] == packed + 1) { dup = true; break; }
+          slot = (slot + 1) & (cap - 1);
+        }
+        if (dup) continue;
+        seen[slot] = packed + 1;
+        used.push_back(slot);
+        wk.push_back(packed);
+        wp.push_back(w);
+#pragma omp atomic
+        ++offsets[packed + 1];
+      }
+      wcnt[tid].push_back(static_cast<int32_t>(wk.size() - before));
+    }
+  }
+
+  // in-place inclusive prefix over offsets -> range starts
+  {
+    int64_t acc = 0;
+    for (int64_t k = 0; k <= kTable; ++k) {
+      acc += offsets[k];
+      offsets[k] = static_cast<int32_t>(acc);
+    }
+    *n_out = acc;
+  }
+
+  // serial replay in (thread, seq, pos) == global (seq, pos) order: with
+  // the cursor started at each kmer's range start this lands every
+  // posting in exact (kmer, seq, pos) order.  ~2 writes per posting —
+  // cheap enough that parallelism isn't worth a second 256 MB table.
+  std::vector<int32_t> cur(offsets, offsets + kTable);
+  for (int tid = 0; tid < nthreads; ++tid) {
+    const std::vector<int32_t>& wk = wkmer[tid];
+    const std::vector<int32_t>& wp = wpos[tid];
+    size_t i = 0;
+    for (int si = part[tid]; si < part[tid + 1]; ++si) {
+      const int32_t n = wcnt[tid][si - part[tid]];
+      for (int32_t j = 0; j < n; ++j, ++i) {
+        const int32_t km = wk[i];
+        const int32_t at = cur[km]++;
+        out_kmer[at] = km;
+        out_seq[at] = si;
+        out_pos[at] = wp[i];
+      }
+    }
+  }
+  return 0;
+}
+
 // Dense k-mer -> posting-offset table from (unique kmer, count) pairs:
 // scatter + sequential int32 prefix sum.  numpy's cumsum over the 64M-bin
 // table is the index-build bottleneck on bandwidth-starved hosts; a plain

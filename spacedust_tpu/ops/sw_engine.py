@@ -35,13 +35,17 @@ from .sw_tiled import sw_scan_core
 
 configure_jax()
 
-LADDER = (128, 256, 384, 512, 768, 1024, 1536, 2048, 4096, 8192, 32768)
-_BATCH_FOR_RUNG = {128: 2048, 256: 2048, 384: 2048, 512: 2048, 768: 1024,
-                   1024: 1024, 1536: 512, 2048: 512, 4096: 256, 8192: 128,
-                   32768: 16}
+LADDER = (1024, 4096, 32768)
+_BATCH_FOR_RUNG = {1024: 512, 4096: 64, 32768: 8}
 
 
 def bucket_len(x: int) -> int:
+    """Square rung: one executable per rung, forward and reverse passes
+    share it (the per-pair `rev` flag is a runtime input).  The ladder is
+    deliberately tiny: on the target hardware each distinct compiled
+    shape costs ~2-4 s to build/load (even on a persistent-cache hit),
+    which dwarfs the padding FLOPs it saves — round 2's 11x11 grid spent
+    ~300 s loading ~100 executables to score ~30 Gcells of work."""
     for n in LADDER:
         if x <= n:
             return n
@@ -54,22 +58,27 @@ def batch_width(lq: int, lt: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "reverse"))
-def _sw_bucket(qdata, qbias, tdata, sub, qoff, qlen, toff, tlen, terminate,
-               *, Lq: int, Lt: int, gap_open: int, gap_extend: int,
-               reverse: bool):
+    static_argnames=("Lq", "Lt", "gap_open", "gap_extend"))
+def _sw_bucket(qdata, qbias, tdata, sub, params,
+               *, Lq: int, Lt: int, gap_open: int, gap_extend: int):
     """One compiled bucket. qdata/qbias/tdata: resident int8 arrays.
-    sub: (A, A) int32. qoff/qlen/toff/tlen/terminate: (B,) int32.
-    Forward returns (score, t_end, q_end); reverse returns
-    (score, t_break, q_break, found) in reversed coordinates."""
+    sub: (A, A) int32. params: (6, B) int32 rows = qoff, qlen, toff,
+    tlen, terminate, rev (one array so a batch costs ONE host->device
+    transfer). Returns (score, gj, gi, found, fj, fi): forward rows
+    (rev=0) use (score, gj, gi) = (score, t_end, q_end); reverse rows
+    (rev=1) read (fj, fi, found) = terminate-column break in reversed
+    coordinates (forward rows pass terminate=-1 so the tracker never
+    fires)."""
+    qoff, qlen, toff, tlen, terminate, rev = [params[i] for i in range(6)]
     iq = np.arange(Lq, dtype=np.int32)
     it = np.arange(Lt, dtype=np.int32)
-    if reverse:
-        q_idx = qoff[:, None] + jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0)
-        t_idx = toff[:, None] + jnp.maximum(tlen[:, None] - 1 - it[None, :], 0)
-    else:
-        q_idx = qoff[:, None] + jnp.minimum(iq[None, :], qlen[:, None] - 1)
-        t_idx = toff[:, None] + jnp.minimum(it[None, :], tlen[:, None] - 1)
+    r = rev[:, None] != 0
+    q_idx = qoff[:, None] + jnp.where(
+        r, jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0),
+        jnp.minimum(iq[None, :], qlen[:, None] - 1))
+    t_idx = toff[:, None] + jnp.where(
+        r, jnp.maximum(tlen[:, None] - 1 - it[None, :], 0),
+        jnp.minimum(it[None, :], tlen[:, None] - 1))
     qt = qdata[q_idx].astype(jnp.int32)            # (B, Lq) tokens
     qb = qbias[q_idx].astype(jnp.int32)            # (B, Lq) int8 bias
     tt = tdata[t_idx].astype(jnp.int32)            # (B, Lt) tokens
@@ -90,10 +99,10 @@ def _sw_bucket(qdata, qbias, tdata, sub, qoff, qlen, toff, tlen, terminate,
         from .sw_pallas import score_grid, sw_scan_pallas
         S = score_grid(prof, tt)
         return sw_scan_pallas(S, qlen, tlen, terminate, gap_open,
-                              gap_extend, with_terminate=reverse)
+                              gap_extend, all_outputs=True)
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
-                        with_terminate=reverse)
+                        with_terminate=True, all_outputs=True)
 
 
 @functools.lru_cache(maxsize=1)
@@ -113,15 +122,66 @@ def _concat_results(rs):
         [jnp.stack([x.astype(jnp.int32) for x in r]) for r in rs], axis=1)
 
 
+def _pow2_pad(a: np.ndarray) -> np.ndarray:
+    """Pad a 1-D array to the next power of two: the resident-array shape
+    is baked into every compiled executable, so padding keeps executable
+    shapes stable across runs and similarly-sized DBs (persistent-cache
+    hits instead of fresh ~3 s compile/loads)."""
+    n = 1
+    while n < len(a):
+        n *= 2
+    if n == len(a):
+        return a
+    return np.pad(a, (0, n - len(a)))
+
+
 class DeviceAlignDB:
-    """Device-resident query/target token + bias arrays for one engine."""
+    """Device-resident query/target token + bias arrays for one engine.
+
+    Executables are AOT-compiled (jit.lower().compile()) and cached per
+    (Lq, Lt, gaps) so `warm()` can build them on a background thread
+    while the host runs the prefilter — on the target hardware each
+    compile/load costs seconds, which otherwise lands in the align
+    stage's wall-clock."""
 
     def __init__(self, qdata: np.ndarray, qbias: np.ndarray,
                  tdata: np.ndarray, sub: np.ndarray):
-        self.qdata = jnp.asarray(qdata.astype(np.int8))
-        self.qbias = jnp.asarray(qbias.astype(np.int8))
-        self.tdata = jnp.asarray(tdata.astype(np.int8))
+        import threading
+        self.qdata = jnp.asarray(_pow2_pad(qdata.astype(np.int8)))
+        self.qbias = jnp.asarray(_pow2_pad(qbias.astype(np.int8)))
+        self.tdata = jnp.asarray(_pow2_pad(tdata.astype(np.int8)))
         self.sub = jnp.asarray(sub.astype(np.int32))
+        self._compiled = {}
+        self._lock = threading.Lock()
+        self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
+                        "n_executables": 0, "n_batches": 0}
+
+    def get_compiled(self, lq: int, lt: int, gap_open: int, gap_extend: int):
+        """AOT executable for one bucket shape (compiles on first use)."""
+        import time
+        key = (lq, lt, gap_open, gap_extend)
+        with self._lock:
+            c = self._compiled.get(key)
+            if c is not None:
+                return c
+            t0 = time.perf_counter()
+            B = batch_width(lq, lt)
+            sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            c = _sw_bucket.lower(
+                sds(self.qdata), sds(self.qbias), sds(self.tdata),
+                sds(self.sub), jax.ShapeDtypeStruct((6, B), jnp.int32),
+                Lq=lq, Lt=lt, gap_open=gap_open,
+                gap_extend=gap_extend).compile()
+            self._compiled[key] = c
+            self.metrics["compile_s"] += time.perf_counter() - t0
+            self.metrics["n_executables"] += 1
+            return c
+
+    def warm(self, rungs, gap_open: int, gap_extend: int) -> None:
+        """Precompile the bucket executables (call from a background
+        thread at pipeline start; pairs land on square rungs)."""
+        for lq in rungs:
+            self.get_compiled(lq, lq, gap_open, gap_extend)
 
     def run_buckets(self, jobs, gap_open: int, gap_extend: int,
                     reverse: bool):
@@ -131,29 +191,37 @@ class DeviceAlignDB:
         transfer: on the target hardware the per-transfer round-trip
         dominates tiny result fetches, so a stage must cost O(1)
         transfers, not O(batches).  Returns (positions, numpy-tuple)
-        per batch."""
+        per batch: (score, t_end, q_end, found, fj, fi)."""
+        import time
         pending = []
+        t0 = time.perf_counter()
         for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
+            fn = self.get_compiled(lq, lt, gap_open, gap_extend)
             B = batch_width(lq, lt)
             for s in range(0, len(qoff), B):
                 e = min(s + B, len(qoff))
-                pad = B - (e - s)
-                def padded(a, fill=0):
-                    c = a[s:e]
-                    return np.pad(c, (0, pad), constant_values=fill) if pad \
-                        else c
-                r = _sw_bucket(
-                    self.qdata, self.qbias, self.tdata, self.sub,
-                    jnp.asarray(padded(qoff)), jnp.asarray(padded(qlen, 1)),
-                    jnp.asarray(padded(toff)), jnp.asarray(padded(tlen, 1)),
-                    jnp.asarray(padded(term)),
-                    Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend,
-                    reverse=reverse)
+                params = np.zeros((6, B), dtype=np.int32)
+                params[0, :e - s] = qoff[s:e]
+                params[1, :e - s] = qlen[s:e]
+                params[1, e - s:] = 1
+                params[2, :e - s] = toff[s:e]
+                params[3, :e - s] = tlen[s:e]
+                params[3, e - s:] = 1
+                params[4, :e - s] = term[s:e]
+                params[4, e - s:] = -1
+                params[5, :] = 1 if reverse else 0
+                r = fn(self.qdata, self.qbias, self.tdata, self.sub,
+                       jnp.asarray(params))
                 pending.append((pos[s:e], r))
+                self.metrics["n_batches"] += 1
         if not pending:
             return []
+        t1 = time.perf_counter()
         # single D2H transfer: concat every batch's stacked outputs
         flat = np.asarray(_concat_results([r for _, r in pending]))
+        t2 = time.perf_counter()
+        self.metrics["dispatch_s"] += t1 - t0
+        self.metrics["fetch_s"] += t2 - t1
         out, col = [], 0
         for pos, r in pending:
             b = r[0].shape[0]

@@ -128,11 +128,11 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("gap_open", "gap_extend", "with_terminate", "bt", "tt",
-                     "interpret"))
+                     "interpret", "all_outputs"))
 def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
                    gap_extend: int, with_terminate: bool = False,
                    bt: int = 128, tt: int | None = None,
-                   interpret: bool = False):
+                   interpret: bool = False, all_outputs: bool = False):
     """S: (Lt, B, Lq) int8 substitution grid (column-major leading dim
     so the per-column slice is a leading-dim index); per-pair lens
     int32. Returns (score, t_end, q_end) or (score, fj, fi, found)."""
@@ -153,7 +153,7 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
 
     kern = functools.partial(_kernel, TT=TT, Lq=Lq, gap_open=gap_open,
                              gap_extend=gap_extend,
-                             with_terminate=with_terminate)
+                             with_terminate=with_terminate or all_outputs)
     vec = lambda: pl.BlockSpec((BT, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((B, 1), jnp.int32)] * 6
@@ -179,6 +179,8 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
     )(qlens.reshape(B, 1), tlens.reshape(B, 1),
       terminate.reshape(B, 1), S)
     score, gj, gi, fnd, fj, fi = [o[:, 0] for o in outs]
+    if all_outputs:
+        return score, gj, gi, fnd, fj, fi
     if with_terminate:
         return score, fj, fi, fnd != 0
     return score, gj, gi

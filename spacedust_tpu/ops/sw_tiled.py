@@ -49,7 +49,7 @@ def sw_scan_tiled(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
 
 def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
                  t_tile: int = 128, with_terminate: bool = False,
-                 prof2=None, tseq2=None):
+                 prof2=None, tseq2=None, all_outputs: bool = False):
     """prof: (B, A, Lq) int32; tseq: (B, Lt) int32. Lt % t_tile == 0.
     Returns (score, t_end, q_end) or terminate-column results, identical
     to ops.sw._sw_scan.  Unjitted core so callers can fuse it.
@@ -88,6 +88,8 @@ def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
         if prof2_i8 is not None:
             S = S + _score_tile(prof2_i8, tseq2, tile_idx)
 
+        track_term = with_terminate or all_outputs
+
         def col_step(carry, j):
             H, E, gmax, gj, gi, found, fj, fi = carry
             jj = tile_idx * t_tile + j
@@ -112,7 +114,7 @@ def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
             gmax = jnp.where(better, cmax, gmax)
             gj = jnp.where(better, jj, gj)
             gi = jnp.where(better, ci, gi)
-            if with_terminate:
+            if track_term:
                 hit = col_valid & (~found) & (cmax == terminate)
                 fj = jnp.where(hit, jj, fj)
                 fi = jnp.where(hit, ci, fi)
@@ -133,6 +135,8 @@ def sw_scan_core(prof, tseq, qlens, tlens, gap_open, gap_extend, terminate,
             jnp.zeros(B, jnp.int32))
     (H, E, gmax, gj, gi, found, fj, fi), _ = jax.lax.scan(
         tile_step, init, jnp.arange(n_tiles, dtype=jnp.int32))
+    if all_outputs:
+        return gmax, gj, gi, found, fj, fi
     if with_terminate:
         return gmax, fj, fi, found
     return gmax, gj, gi

@@ -266,6 +266,20 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         records = aln.align_all(candidates)
         timings["align"] = time.time() - t0
     else:
+        # the alignment engine is built FIRST so its device executables
+        # compile/load on a background thread while the host-side index
+        # build + native prefilter run (each executable costs seconds on
+        # the target hardware; overlapping hides nearly all of it)
+        aln_par = AlignmentParams(gap_open=par.gap_open,
+                                  gap_extend=par.gap_extend,
+                                  eval_thr=par.eval_thr, cov_thr=par.cov_thr,
+                                  cov_mode=par.cov_mode,
+                                  aln_len_thr=par.aln_len_thr,
+                                  comp_bias_correction=par.comp_bias_correction)
+        aln = AlignmentEngine(query_db, target_db, aln_par,
+                              same_qt_db=same_qt_db)
+        aln.warm_async()
+
         t0 = time.time()
         pref = PrefilterEngine(query_db, target_db,
                                sensitivity=par.sensitivity,
@@ -290,16 +304,10 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                 f"median, {stats['empty_lists']} empty)")
 
         t0 = time.time()
-        aln_par = AlignmentParams(gap_open=par.gap_open,
-                                  gap_extend=par.gap_extend,
-                                  eval_thr=par.eval_thr, cov_thr=par.cov_thr,
-                                  cov_mode=par.cov_mode,
-                                  aln_len_thr=par.aln_len_thr,
-                                  comp_bias_correction=par.comp_bias_correction)
-        aln = AlignmentEngine(query_db, target_db, aln_par,
-                              same_qt_db=same_qt_db)
         records = aln.align_all(candidates)
         timings["align"] = time.time() - t0
+        if aln._dev is not None:
+            timings["align_detail"] = dict(aln._dev.metrics)
 
     # prefixid: records -> prefixed column lines
     t0 = time.time()

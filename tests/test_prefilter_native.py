@@ -59,3 +59,34 @@ def test_native_no_identity_when_different_db(mini_engine):
         ref = [(h.seq_id, h.score, h.diagonal) for h in pref.match_query(qk)]
         got = [(h.seq_id, h.score, h.diagonal) for h in batch[qk]]
         assert got == ref
+
+
+def test_native_index_build_matches_numpy():
+    """The native two-pass index build (build_kmer_index) must reproduce
+    the numpy lexsort build (KmerIndex._build_postings) posting-for-
+    posting, including per-sequence first-occurrence dedup and the dense
+    offset table."""
+    import numpy as np
+    from spacedust_tpu.constants import X_INDEX
+    from spacedust_tpu.native import build_kmer_index
+    from spacedust_tpu.search.prefilter import KmerIndex, load_pinned_matrix
+
+    db = _mini_db(200)
+    seed = load_pinned_matrix("vtml80_bf8_bias")
+    idx = KmerIndex(db, 112, seed, mask=True)           # native path
+    # numpy reference build over the identical masked token stream
+    ref = KmerIndex.__new__(KmerIndex)
+    ref.tdb = db
+    ref.seed = seed
+    ref.kmer_thr = 112
+    ref.masked = idx.masked
+    lens = np.array([len(s) for s in ref.masked], dtype=np.int64)
+    ref.t_offsets = idx.t_offsets
+    ref.t_data = idx.t_data
+    ref._build_postings(lens)
+    ref._finish_offsets()
+    np.testing.assert_array_equal(idx.kmers, ref.kmers)
+    np.testing.assert_array_equal(idx.seq_ids, ref.seq_ids)
+    np.testing.assert_array_equal(idx.positions, ref.positions)
+    np.testing.assert_array_equal(np.asarray(idx.offsets),
+                                  np.asarray(ref.offsets))
