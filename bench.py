@@ -55,6 +55,40 @@ print(json.dumps({"total_s": time.time() - t_all, "ingest_s": t_ingest,
 """
 
 
+PROBE = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+import numpy as np, jax, jax.numpy as jnp
+t0 = time.time()
+np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros(8, jnp.int32)))
+print(time.time() - t0)
+"""
+
+
+def warm_tunnel(max_tries: int = 3, timeout_s: float = 900.0) -> float:
+    """Absorb the device-link bring-up stall in sacrificial probe
+    processes before the timed run.  Measured behavior of the target
+    setup: the FIRST program execution after a heavy process exits can
+    stall for minutes (observed 38-247 s) while the link recovers; the
+    next process then runs at full speed.  The probe executes a trivial
+    kernel, so no workload compute is moved out of the timed e2e."""
+    script = PROBE % {"repo": os.path.dirname(os.path.abspath(__file__))}
+    total = 0.0
+    for _ in range(max_tries):
+        t0 = time.time()
+        try:
+            proc = subprocess.run([sys.executable, "-c", script],
+                                  capture_output=True, text=True,
+                                  timeout=timeout_s)
+            dt = float(proc.stdout.strip().splitlines()[-1])
+        except Exception:
+            dt = time.time() - t0
+        total += time.time() - t0
+        if dt < 5.0:
+            break
+    return total
+
+
 def run_e2e(timeout_s: float):
     script = E2E_SCRIPT % {"repo": os.path.dirname(os.path.abspath(__file__))}
     try:
@@ -116,6 +150,7 @@ def main() -> None:
         jax.config.update("jax_platforms", plat)
 
     timeout_s = float(os.environ.get("SPACEDUST_BENCH_TIMEOUT", "1200"))
+    probe_s = warm_tunnel()
     e2e = run_e2e(timeout_s)
 
     gcups = None
@@ -148,6 +183,7 @@ def main() -> None:
             "stage_seconds": {k: _r(v)
                               for k, v in e2e["timings"].items()},
             "hits": e2e["hits"], "clusters": e2e["clusters"],
+            "tunnel_warm_probe_s": round(probe_s, 1),
             **extra,
         }))
         return

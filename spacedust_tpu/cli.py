@@ -38,6 +38,11 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gap-open", type=int, default=11)
     p.add_argument("--gap-extend", type=int, default=1)
     p.add_argument("--filter-self-match", action="store_true")
+    # ALIGNMENT_PAR forwarding (data/clustersearch.sh; the reference
+    # align stage receives --max-accept/--max-rejected/--alt-ali)
+    p.add_argument("--max-accept", type=int, default=2147483647)
+    p.add_argument("--max-rejected", type=int, default=2147483647)
+    p.add_argument("--alt-ali", type=int, default=0)
     p.add_argument("--suboptimal-hits", type=int, default=0)
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--aggregation-mode", type=int, default=0)
@@ -96,6 +101,8 @@ def cmd_clustersearch(argv: list[str]) -> int:
         sensitivity=a.sensitivity, max_seqs=a.max_seqs, cov_thr=a.cov_thr,
         cov_mode=a.cov_mode, eval_thr=a.eval_thr, aln_len_thr=a.aln_len_thr,
         gap_open=a.gap_open, gap_extend=a.gap_extend,
+        max_accept=a.max_accept, max_rejected=a.max_rejected,
+        alt_alignments=a.alt_ali,
         subopt_hits_factor=a.suboptimal_hits, alpha=a.alpha,
         aggregation_mode=a.aggregation_mode,
         filter_self_match=a.filter_self_match,
@@ -133,7 +140,8 @@ def cmd_clustersearch(argv: list[str]) -> int:
     print(f"clustersearch: {n_clusters} clusters / {n_hits} hits "
           f"in {time.time()-t0:.1f}s -> {a.output}")
     for k, v in res.timings.items():
-        print(f"  {k}: {v:.2f}s")
+        if isinstance(v, float):
+            print(f"  {k}: {v:.2f}s")
     return 0
 
 
@@ -470,12 +478,7 @@ def cmd_convertalignments(argv: list[str]) -> int:
     p.add_argument("result_tsv", help="key-prefixed alignment lines")
     p.add_argument("out_m8")
     p.add_argument("--format-output", default=DEFAULT_FORMAT)
-    p.add_argument("--search-type", type=int, default=0,
-                   help="0/1: protein setDB search; 3: nucleotide contig "
-                        "search (query/target are FASTA files)")
     a = p.parse_args(argv)
-    if a.search_type == 3:
-        return _run_nucl_search(a)
     qdb = SetDB.load(a.query_db)
     tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
     records = {qk: [AlnRecord.parse("\t".join(cols[1:])) for cols in rows]

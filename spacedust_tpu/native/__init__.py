@@ -305,8 +305,12 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
                           sc3, id3, offsets, post_seq, post_pos,
                           tdata, toffs, tlens, ungapped_sub, x_index,
                           kmer_thr, max_seqs, min_diag_score, bin_count,
-                          same_db, cov_thr, cov_mode):
+                          identity_base, cov_thr, cov_mode):
     """OpenMP k-mer prefilter over a query batch (see prefilter_engine.cpp).
+
+    identity_base >= 0: same-DB search, batch row qi is target key
+    identity_base + qi (streaming chunks pass their range start); -1 for
+    different query/target DBs.
 
     Returns (out_seq, out_score, out_diag, out_cnt, total_raw): per query
     qi the hits are rows [qi*max_seqs : qi*max_seqs+out_cnt[qi]].
@@ -331,7 +335,7 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         _ptr(tlens, ctypes.c_int32), nt,
         _ptr(ungapped_sub, ctypes.c_int32), ungapped_sub.shape[0],
         int(x_index), int(kmer_thr), int(max_seqs), int(min_diag_score),
-        int(bin_count), int(same_db), float(cov_thr), int(cov_mode),
+        int(bin_count), int(identity_base), float(cov_thr), int(cov_mode),
         _ptr(out_seq, ctypes.c_int32), _ptr(out_score, ctypes.c_int32),
         _ptr(out_diag, ctypes.c_int32), _ptr(out_cnt, ctypes.c_int32),
         ctypes.byref(total_raw))

@@ -127,9 +127,11 @@ int prefilter_match_batch(
     const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
     // ungapped scoring matrix, row-major (alpha x alpha) int32
     const int32_t* ungapped_sub, int alpha, int x_index,
-    // parameters
+    // parameters; identity_base >= 0 marks a same-DB search whose batch
+    // row qi corresponds to target key identity_base + qi (the streaming
+    // driver prefilters contiguous query chunks), -1 = different DBs
     int kmer_thr, int max_seqs, int min_diag_score, int bin_count,
-    int same_db, float cov_thr, int cov_mode,
+    int identity_base, float cov_thr, int cov_mode,
     // outputs
     int32_t* out_seq, int32_t* out_score, int32_t* out_diag, int32_t* out_cnt,
     int64_t* total_raw_out) {
@@ -346,7 +348,7 @@ int prefilter_match_batch(
       int32_t* osco = out_score + static_cast<int64_t>(qi) * max_seqs;
       int32_t* odia = out_diag + static_cast<int64_t>(qi) * max_seqs;
       int cnt = 0;
-      const int identity = same_db ? qi : -1;
+      const int identity = identity_base >= 0 ? identity_base + qi : -1;
       const float qlen_f = static_cast<float>(L);
       auto cov_ok = [&](int sid) {
         if (cov_thr <= 0.0f ||

@@ -35,8 +35,8 @@ from .sw_tiled import sw_scan_core
 
 configure_jax()
 
-LADDER = (1024, 4096, 32768)
-_BATCH_FOR_RUNG = {1024: 512, 4096: 64, 32768: 8}
+LADDER = (512, 1024, 2048, 4096, 32768)
+_BATCH_FOR_RUNG = {512: 1024, 1024: 512, 2048: 128, 4096: 64, 32768: 8}
 
 
 def bucket_len(x: int) -> int:
@@ -157,41 +157,61 @@ class DeviceAlignDB:
                         "n_executables": 0, "n_batches": 0}
 
     def get_compiled(self, lq: int, lt: int, gap_open: int, gap_extend: int):
-        """AOT executable for one bucket shape (compiles on first use)."""
+        """AOT executable for one bucket shape (compiles on first use;
+        concurrent compiles of different shapes are allowed — the lock
+        guards only the cache dict)."""
         import time
         key = (lq, lt, gap_open, gap_extend)
         with self._lock:
             c = self._compiled.get(key)
-            if c is not None:
-                return c
-            t0 = time.perf_counter()
-            B = batch_width(lq, lt)
-            sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-            c = _sw_bucket.lower(
-                sds(self.qdata), sds(self.qbias), sds(self.tdata),
-                sds(self.sub), jax.ShapeDtypeStruct((6, B), jnp.int32),
-                Lq=lq, Lt=lt, gap_open=gap_open,
-                gap_extend=gap_extend).compile()
-            self._compiled[key] = c
-            self.metrics["compile_s"] += time.perf_counter() - t0
-            self.metrics["n_executables"] += 1
+        if c is not None:
             return c
+        t0 = time.perf_counter()
+        B = batch_width(lq, lt)
+        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+        c = _sw_bucket.lower(
+            sds(self.qdata), sds(self.qbias), sds(self.tdata),
+            sds(self.sub), jax.ShapeDtypeStruct((6, B), jnp.int32),
+            Lq=lq, Lt=lt, gap_open=gap_open,
+            gap_extend=gap_extend).compile()
+        dt = time.perf_counter() - t0
+        with self._lock:
+            if key in self._compiled:       # lost a benign race
+                return self._compiled[key]
+            self._compiled[key] = c
+            self.metrics["compile_s"] += dt
+            self.metrics["n_executables"] += 1
+        return c
 
     def warm(self, rungs, gap_open: int, gap_extend: int) -> None:
-        """Precompile the bucket executables (call from a background
-        thread at pipeline start; pairs land on square rungs)."""
-        for lq in rungs:
-            self.get_compiled(lq, lq, gap_open, gap_extend)
+        """Precompile the bucket executables and run each once on dummy
+        params (call from a background thread at pipeline start).  The
+        dummy execution matters: on the target hardware the FIRST program
+        execution of a process absorbs a large, variable device/tunnel
+        bring-up stall (tens of seconds observed) that would otherwise
+        land in the align stage."""
+        from concurrent.futures import ThreadPoolExecutor
 
-    def run_buckets(self, jobs, gap_open: int, gap_extend: int,
-                    reverse: bool):
-        """jobs: list of (bucket_key, qoff, qlen, toff, tlen, term,
-        positions).  Dispatches every batch asynchronously, stacks all
-        results on device, and fetches them with ONE device-to-host
-        transfer: on the target hardware the per-transfer round-trip
-        dominates tiny result fetches, so a stage must cost O(1)
-        transfers, not O(batches).  Returns (positions, numpy-tuple)
-        per batch: (score, t_end, q_end, found, fj, fi)."""
+        def one(lq):
+            fn = self.get_compiled(lq, lq, gap_open, gap_extend)
+            B = batch_width(lq, lq)
+            params = np.zeros((6, B), dtype=np.int32)
+            params[1] = params[3] = 1
+            params[4] = -1
+            return fn(self.qdata, self.qbias, self.tdata, self.sub,
+                      jnp.asarray(params))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            rs = list(pool.map(one, rungs))
+        if rs:
+            np.asarray(rs[-1][0][:1])       # sync: absorb first-exec stall
+
+    def dispatch(self, jobs, gap_open: int, gap_extend: int,
+                 reverse: bool):
+        """Asynchronously dispatch batches for `jobs` (list of
+        (bucket_key, qoff, qlen, toff, tlen, term, positions)); returns a
+        pending list for collect().  Dispatch returns in milliseconds, so
+        a streaming caller can overlap device scoring with host work."""
         import time
         pending = []
         t0 = time.perf_counter()
@@ -214,13 +234,22 @@ class DeviceAlignDB:
                        jnp.asarray(params))
                 pending.append((pos[s:e], r))
                 self.metrics["n_batches"] += 1
+        self.metrics["dispatch_s"] += time.perf_counter() - t0
+        return pending
+
+    def collect(self, pending):
+        """Fetch every pending batch with ONE device-to-host transfer: on
+        the target hardware the per-transfer round-trip dominates tiny
+        result fetches, so a stage must cost O(1) transfers, not
+        O(batches).  Returns (positions, numpy-tuple) per batch:
+        (score, t_end, q_end, found, fj, fi)."""
+        import time
         if not pending:
             return []
         t1 = time.perf_counter()
         # single D2H transfer: concat every batch's stacked outputs
         flat = np.asarray(_concat_results([r for _, r in pending]))
         t2 = time.perf_counter()
-        self.metrics["dispatch_s"] += t1 - t0
         self.metrics["fetch_s"] += t2 - t1
         out, col = [], 0
         for pos, r in pending:
@@ -229,6 +258,11 @@ class DeviceAlignDB:
                                    for i in range(len(r)))))
             col += b
         return out
+
+    def run_buckets(self, jobs, gap_open: int, gap_extend: int,
+                    reverse: bool):
+        return self.collect(self.dispatch(jobs, gap_open, gap_extend,
+                                          reverse))
 
 
 @functools.partial(

@@ -314,6 +314,13 @@ class AlignmentEngine:
         return accepted
 
     # ------------------------------------------------------------------
+    def stream(self) -> "_AlignStream":
+        """Streaming entry: add() candidate fragments as the prefilter
+        produces them (forward SW dispatches asynchronously per fragment,
+        overlapping device scoring with the host prefilter), finish()
+        collects and completes.  align_all == one add + finish."""
+        return _AlignStream(self)
+
     def align_all(self, candidates: dict[int, list[int]],
                   progress: bool = False) -> dict[int, list[AlnRecord]]:
         """candidates: query key -> target keys (prefilter order).
@@ -324,17 +331,23 @@ class AlignmentEngine:
         max_accept acceptances or max_rejected CONSECUTIVE rejections,
         candidates in prefilter order) is applied as an output-equivalent
         post-pass over the eagerly computed decisions."""
-        par = self.par
-        qdb, tdb = self.qdb, self.tdb
-        qlens_all = qdb.lengths
-        tlens_all = tdb.lengths
+        st = self.stream()
+        st.add(candidates)
+        return st.finish()
 
-        # Stage 0: identity + coverage pre-check, collect SW pairs.
-        # items[qk] keeps every candidate in prefilter order as
-        # ('acc', record) / ('rej', None) / ('pair', pair list index).
-        # The coverage pre-check and identity records are vectorized
-        # across all candidates (the per-candidate Python loop dominates
-        # host time otherwise).
+    def _stage0(self, candidates: dict[int, list[int]],
+                items: dict[int, list], pairs: list[tuple[int, int]]) -> int:
+        """Identity + coverage pre-check for one candidate fragment;
+        appends to items/pairs, returns the fragment's first pair index.
+
+        items[qk] keeps every candidate in prefilter order as
+        ('acc', record) / ('rej', None) / ('pair', pair list index).
+        The coverage pre-check and identity records are vectorized
+        across all candidates (the per-candidate Python loop dominates
+        host time otherwise)."""
+        par = self.par
+        qlens_all = self.qdb.lengths
+        tlens_all = self.tdb.lengths
         all_qk: list[int] = []
         all_tk: list[int] = []
         for qk, tkeys in candidates.items():
@@ -351,11 +364,10 @@ class AlignmentEngine:
         ident_recs = self._identity_records_batch(
             np.unique(aqk[is_ident & covered]))
 
-        items: dict[int, list] = {}
-        pairs: list[tuple[int, int]] = []
+        frag_start = len(pairs)
         ci = 0
         for qk, tkeys in candidates.items():
-            lst = []
+            lst = items.setdefault(qk, [])
             for tk in tkeys:
                 if not covered[ci]:
                     lst.append(("rej", None))
@@ -365,15 +377,18 @@ class AlignmentEngine:
                     lst.append(("pair", len(pairs)))
                     pairs.append((qk, tk))
                 ci += 1
-            items[qk] = lst
+        return frag_start
 
-        # Stage 1: forward SW, bucketed
-        fwd = self._run_forward(pairs)
-
+    def _post_forward(self, items: dict[int, list],
+                      pairs: list[tuple[int, int]], fwd
+                      ) -> dict[int, list[AlnRecord]]:
+        par = self.par
         # Stage 2: E-value/end-coverage filters -> reverse-pass batch
         # (vectorized: evaluer + coverage over all forward results)
         surv_of_pair: dict[int, int] = {}
         survivors: list[tuple[int, int, int, int, int, float]] = []
+        qlens_all = self.qdb.lengths
+        tlens_all = self.tdb.lengths
         if pairs:
             n = len(pairs)
             pqk = np.fromiter((p[0] for p in pairs), np.int64, n)
@@ -401,7 +416,7 @@ class AlignmentEngine:
         recs = self._finish_pairs(survivors, starts)
 
         # Stage 4: per-query accept/reject state machine in prefilter order
-        accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in candidates}
+        accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in items}
         for qk, lst in items.items():
             passed = 0
             rejected = 0
@@ -548,9 +563,12 @@ class AlignmentEngine:
             try:
                 dev = self._device_db()
                 if dev is not None:
-                    from ..ops.sw_engine import LADDER
-                    dev.warm(LADDER[:2], self.par.gap_open,
-                             self.par.gap_extend)
+                    from ..ops.sw_engine import LADDER, bucket_len
+                    max_len = int(max(self.qdb.lengths.max(),
+                                      self.tdb.lengths.max()))
+                    top = bucket_len(max_len)
+                    rungs = [r for r in LADDER if r <= top]
+                    dev.warm(rungs, self.par.gap_open, self.par.gap_extend)
             except Exception:     # warm failures surface on the real call
                 pass
 
@@ -598,39 +616,48 @@ class AlignmentEngine:
                                   self.matrix.sub_int)
         return self._dev
 
+    def _forward_jobs(self, pairs: list[tuple[int, int]], base: int):
+        """Bucketed forward jobs for a pair fragment; positions are
+        global pair indices (base + local)."""
+        from ..ops.sw_engine import bucket_len
+        qlens_all = self.qdb.lengths
+        tlens_all = self.tdb.lengths
+        qk = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+        tk = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+        ql = qlens_all[qk].astype(np.int32)
+        tl = tlens_all[tk].astype(np.int32)
+        # square rungs only: one executable serves both dimensions
+        # (and the reverse pass), keeping the compiled-shape count at
+        # the ladder size
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i in range(len(pairs)):
+            r = bucket_len(max(int(ql[i]), int(tl[i])))
+            buckets.setdefault((r, r), []).append(i)
+        jobs = []
+        for key, idxs in sorted(buckets.items()):
+            sel = np.asarray(idxs, dtype=np.int64)
+            jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
+                         self._toffs32[tk[sel]], tl[sel],
+                         np.full(len(sel), -1, np.int32), sel + base))
+        return jobs
+
+    @staticmethod
+    def _decode_forward(collected, out):
+        for pos, (score, t_end, q_end, _f, _fj, _fi) in collected:
+            for bi, pidx in enumerate(pos):
+                out[pidx] = (int(score[bi]), int(q_end[bi]), int(t_end[bi]))
+
     def _run_forward(self, pairs: list[tuple[int, int]]
                      ) -> list[tuple[int, int, int]]:
         if not pairs:
             return []
         dev = self._device_db()
         if dev is not None:
-            from ..ops.sw_engine import bucket_len
-            qlens_all = self.qdb.lengths
-            tlens_all = self.tdb.lengths
-            qk = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
-            tk = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
-            ql = qlens_all[qk].astype(np.int32)
-            tl = tlens_all[tk].astype(np.int32)
-            # square rungs only: one executable serves both dimensions
-            # (and the reverse pass), keeping the compiled-shape count at
-            # the ladder size
-            buckets: dict[tuple[int, int], list[int]] = {}
-            for i in range(len(pairs)):
-                r = bucket_len(max(int(ql[i]), int(tl[i])))
-                buckets.setdefault((r, r), []).append(i)
-            jobs = []
-            for key, idxs in sorted(buckets.items()):
-                sel = np.asarray(idxs, dtype=np.int64)
-                jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
-                             self._toffs32[tk[sel]], tl[sel],
-                             np.full(len(sel), -1, np.int32), sel))
+            jobs = self._forward_jobs(pairs, 0)
             out: list[tuple[int, int, int] | None] = [None] * len(pairs)
-            for pos, (score, t_end, q_end, _f, _fj, _fi) in dev.run_buckets(
-                    jobs, self.par.gap_open, self.par.gap_extend,
-                    reverse=False):
-                for bi, pidx in enumerate(pos):
-                    out[pidx] = (int(score[bi]), int(q_end[bi]),
-                                 int(t_end[bi]))
+            self._decode_forward(
+                dev.run_buckets(jobs, self.par.gap_open,
+                                self.par.gap_extend, reverse=False), out)
             return out  # type: ignore[return-value]
         return self._run_forward_host(pairs)
 
@@ -870,3 +897,43 @@ class AlignmentEngine:
                          tstart=t_start, tend=t_end, tlen=tlen,
                          backtrace=ops, raw_score=score,
                          qcov=float(qcov), tcov=float(tcov))
+
+
+class _AlignStream:
+    """Incremental alignment driver: candidate fragments stream in (from
+    the chunked prefilter), forward SW batches dispatch asynchronously to
+    the device as each fragment arrives, and finish() runs the single
+    collect + reverse pass + traceback.  Device scoring of fragment k
+    overlaps the host prefilter of fragments k+1.. — the align stage's
+    visible wall-clock shrinks to its post-forward tail."""
+
+    def __init__(self, eng: AlignmentEngine):
+        self.eng = eng
+        self.items: dict[int, list] = {}
+        self.pairs: list[tuple[int, int]] = []
+        self._pending: list = []
+        self._dev = None
+        self._dev_checked = False
+
+    def add(self, candidates: dict[int, list[int]]) -> None:
+        eng = self.eng
+        frag_start = eng._stage0(candidates, self.items, self.pairs)
+        frag = self.pairs[frag_start:]
+        if not frag:
+            return
+        if not self._dev_checked:
+            self._dev = eng._device_db()
+            self._dev_checked = True
+        if self._dev is not None:
+            jobs = eng._forward_jobs(frag, frag_start)
+            self._pending += self._dev.dispatch(
+                jobs, eng.par.gap_open, eng.par.gap_extend, reverse=False)
+
+    def finish(self) -> dict[int, list[AlnRecord]]:
+        eng = self.eng
+        if self._dev is not None:
+            fwd: list = [None] * len(self.pairs)
+            eng._decode_forward(self._dev.collect(self._pending), fwd)
+        else:
+            fwd = eng._run_forward_host(self.pairs)
+        return eng._post_forward(self.items, self.pairs, fwd)

@@ -559,27 +559,45 @@ class PrefilterEngine:
                 out[qk] = self.match_query(qk)
         if not seq_keys:
             return out
-        # `same_db` identity semantics require query index == target key,
-        # which holds only for the full-range self-search batch
-        contiguous = (self.same_qt_db and len(seq_keys) == self.qdb.size
-                      and seq_keys == list(range(self.qdb.size)))
+        # identity semantics need batch row -> target key mapping, which
+        # the native engine supports for contiguous ranges
+        contiguous = (seq_keys ==
+                      list(range(seq_keys[0], seq_keys[0] + len(seq_keys))))
         if not contiguous and self.same_qt_db:
             for qk in seq_keys:
                 out[qk] = self.match_query(qk)
             return out
-        from ..native import prefilter_match_batch
+        if contiguous:
+            out.update(self.match_range(seq_keys[0],
+                                        seq_keys[0] + len(seq_keys)))
+            return out
+        seqs = [self.qdb.sequence(qk) for qk in seq_keys]
+        qdata = (np.concatenate(seqs).astype(np.uint8) if seqs
+                 else np.empty(0, np.uint8))
+        qlens = np.array([len(s) for s in seqs], dtype=np.int32)
+        qoffs = np.concatenate(([0], np.cumsum(qlens, dtype=np.int64)))[:-1]
+        out.update(dict(zip(seq_keys,
+                            self._match_native(qdata, qoffs, qlens, -1))))
+        return out
+
+    def match_range(self, start: int, end: int
+                    ) -> dict[int, list[PrefilterHit]]:
+        """Prefilter a contiguous query-key range (the streaming driver's
+        unit of work; identity semantics preserved via identity_base)."""
         qdb = self.qdb
-        if seq_keys == list(range(qdb.size)):
-            qdata = np.ascontiguousarray(qdb.seq_data, dtype=np.uint8)
-            qoffs = np.ascontiguousarray(qdb.offsets[:-1], dtype=np.int64)
-            qlens = np.ascontiguousarray(qdb.lengths, dtype=np.int32)
-        else:
-            seqs = [qdb.sequence(qk) for qk in seq_keys]
-            qdata = (np.concatenate(seqs).astype(np.uint8) if seqs
-                     else np.empty(0, np.uint8))
-            qlens = np.array([len(s) for s in seqs], dtype=np.int32)
-            qoffs = np.concatenate(
-                ([0], np.cumsum(qlens, dtype=np.int64)))[:-1]
+        qoffs_all = qdb.offsets
+        qdata = np.ascontiguousarray(
+            qdb.seq_data[qoffs_all[start]:qoffs_all[end]], dtype=np.uint8)
+        qoffs = np.ascontiguousarray(
+            qoffs_all[start:end] - qoffs_all[start], dtype=np.int64)
+        qlens = np.ascontiguousarray(qdb.lengths[start:end], dtype=np.int32)
+        base = start if self.same_qt_db else -1
+        hits = self._match_native(qdata, qoffs, qlens, base)
+        return {start + i: h for i, h in enumerate(hits)}
+
+    def _match_native(self, qdata, qoffs, qlens, identity_base
+                      ) -> list[list[PrefilterHit]]:
+        from ..native import prefilter_match_batch
         idx = self.index
         o_seq, o_score, o_diag, o_cnt, _raw = prefilter_match_batch(
             qdata, qoffs, qlens,
@@ -595,25 +613,34 @@ class PrefilterEngine:
             np.ascontiguousarray(self._tlens, dtype=np.int32),
             np.ascontiguousarray(self.ungapped.sub_int, dtype=np.int32),
             X_INDEX, self.kmer_thr, self.max_seqs, self.min_diag_score,
-            self._bin_count, self.same_qt_db, self.cov_thr, self.cov_mode)
-        for bi, qk in enumerate(seq_keys):
+            self._bin_count, identity_base, self.cov_thr, self.cov_mode)
+        n_q = len(qlens)
+        out = []
+        for bi in range(n_q):
             n = int(o_cnt[bi])
             base = bi * self.max_seqs
-            out[qk] = [PrefilterHit(seq_id=int(o_seq[base + i]),
-                                    score=int(o_score[base + i]),
-                                    diagonal=int(o_diag[base + i]))
-                       for i in range(n)]
+            out.append([PrefilterHit(seq_id=int(o_seq[base + i]),
+                                     score=int(o_score[base + i]),
+                                     diagonal=int(o_diag[base + i]))
+                        for i in range(n)])
         # prefilter statistics (the printStatistics analog,
-        # Prefiltering.cpp:953-975)
-        counts = np.asarray(o_cnt[:len(seq_keys)], dtype=np.int64)
-        self.stats = {
-            "db_matches_per_seq": int(_raw) // max(1, len(seq_keys)),
-            "passed_per_seq": float(counts.mean()) if len(counts) else 0.0,
-            "median_result_list": int(np.median(counts)) if len(counts)
-            else 0,
-            "empty_lists": int((counts == 0).sum()),
-            "queries": len(seq_keys),
-        }
+        # Prefiltering.cpp:953-975), accumulated across streamed chunks
+        counts = np.asarray(o_cnt[:n_q], dtype=np.int64)
+        prev = getattr(self, "stats", None) or {
+            "db_matches": 0, "sum_passed": 0, "empty_lists": 0,
+            "queries": 0, "_counts": []}
+        prev.setdefault("_counts", [])
+        prev["db_matches"] = prev.get("db_matches", 0) + int(_raw)
+        prev["sum_passed"] = prev.get("sum_passed", 0) + int(counts.sum())
+        prev["empty_lists"] += int((counts == 0).sum())
+        prev["queries"] += n_q
+        prev["_counts"].append(counts)
+        nq = max(1, prev["queries"])
+        prev["db_matches_per_seq"] = prev["db_matches"] // nq
+        prev["passed_per_seq"] = prev["sum_passed"] / nq
+        prev["median_result_list"] = int(
+            np.median(np.concatenate(prev["_counts"])))
+        self.stats = prev
         return out
 
     def match_query(self, qkey: int) -> list[PrefilterHit]:

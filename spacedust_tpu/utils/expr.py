@@ -68,4 +68,9 @@ class FilterExpression:
                     env[f"_c{c}"] = 0.0   # strtod failure -> unbound (0)
             else:
                 env[f"_c{c}"] = 0.0
-        return float(eval(self._code, {"__builtins__": {}}, env))
+        try:
+            return float(eval(self._code, {"__builtins__": {}}, env))
+        except ZeroDivisionError:
+            # tinyexpr evaluates in IEEE doubles: x/0 -> inf, 0/0 -> nan
+            # (the filtered line is then kept or dropped, never a crash)
+            return float("nan")

@@ -100,6 +100,10 @@ class ClusterSearchParams:
     gap_open: int = 11
     gap_extend: int = 1
     simple_best_hit: bool = True
+    # ALIGNMENT_PAR forwarding (data/clustersearch.sh; Alignment.cpp:346)
+    max_accept: int = 2147483647
+    max_rejected: int = 2147483647
+    alt_alignments: int = 0
     subopt_hits_factor: int = 0
     alpha: float = 1.0
     aggregation_mode: int = 0
@@ -217,6 +221,8 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                 gap_open=par.gap_open, gap_extend=par.gap_extend,
                 eval_thr=par.eval_thr, cov_thr=par.cov_thr,
                 cov_mode=par.cov_mode, aln_len_thr=par.aln_len_thr,
+                max_accept=par.max_accept, max_rejected=par.max_rejected,
+                alt_alignments=par.alt_alignments,
                 comp_bias_correction=par.comp_bias_correction)
             eng = AlignmentEngine(query_db, target_db, aln_par,
                                   same_qt_db=same_qt_db)
@@ -260,6 +266,9 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                                   eval_thr=par.eval_thr, cov_thr=par.cov_thr,
                                   cov_mode=par.cov_mode,
                                   aln_len_thr=par.aln_len_thr,
+                                  max_accept=par.max_accept,
+                                  max_rejected=par.max_rejected,
+                                  alt_alignments=par.alt_alignments,
                                   comp_bias_correction=par.comp_bias_correction)
         aln = AlignmentEngine(query_db, target_db, aln_par,
                               same_qt_db=same_qt_db)
@@ -275,6 +284,9 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                                   eval_thr=par.eval_thr, cov_thr=par.cov_thr,
                                   cov_mode=par.cov_mode,
                                   aln_len_thr=par.aln_len_thr,
+                                  max_accept=par.max_accept,
+                                  max_rejected=par.max_rejected,
+                                  alt_alignments=par.alt_alignments,
                                   comp_bias_correction=par.comp_bias_correction)
         aln = AlignmentEngine(query_db, target_db, aln_par,
                               same_qt_db=same_qt_db)
@@ -290,10 +302,22 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                                cov_thr=par.cov_thr, cov_mode=par.cov_mode)
         timings["index"] = time.time() - t0
 
+        # streamed search: the prefilter runs in contiguous query chunks
+        # and each chunk's forward SW batches dispatch asynchronously to
+        # the device before the next chunk starts — device scoring
+        # overlaps the host prefilter (the reference interleaves nothing;
+        # its prefilter and align are separate serial processes)
         t0 = time.time()
-        candidates = {qk: [h.seq_id for h in hits]
-                      for qk, hits in pref.match_all().items()}
-        timings["prefilter"] = time.time() - t0
+        stream = aln.stream()
+        chunk = max(256, (query_db.size + 7) // 8)
+        pref_s = 0.0
+        for s in range(0, query_db.size, chunk):
+            tp = time.time()
+            hits = pref.match_range(s, min(s + chunk, query_db.size))
+            pref_s += time.time() - tp
+            stream.add({qk: [h.seq_id for h in hs]
+                        for qk, hs in hits.items()})
+        timings["prefilter"] = round(pref_s, 4)
         stats = getattr(pref, "stats", None)
         if stats:
             from ..utils import log
@@ -303,9 +327,8 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                 f"prefiltering per query ({stats['median_result_list']} "
                 f"median, {stats['empty_lists']} empty)")
 
-        t0 = time.time()
-        records = aln.align_all(candidates)
-        timings["align"] = time.time() - t0
+        records = stream.finish()
+        timings["align"] = time.time() - t0 - pref_s
         if aln._dev is not None:
             timings["align_detail"] = dict(aln._dev.metrics)
 

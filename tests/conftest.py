@@ -28,9 +28,11 @@ _TMP_ORACLE = os.path.join(_REPO, ".tmp", "oracle")
 
 
 def oracle_root() -> str:
-    if os.path.exists(os.path.join(_FIXTURE_ORACLE, "profiles.index")):
-        return _FIXTURE_ORACLE
-    return _TMP_ORACLE
+    # a freshly generated reference run overrides the trimmed committed
+    # fixtures (matching the comment above; ADVICE r2)
+    if os.path.exists(os.path.join(_TMP_ORACLE, "profiles.index")):
+        return _TMP_ORACLE
+    return _FIXTURE_ORACLE
 
 
 @pytest.fixture(scope="session")

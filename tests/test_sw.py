@@ -115,3 +115,44 @@ def test_banded_traceback_gap(matrix):
     assert ops.count("I") == 3
     assert ops.count("M") == 10
     assert ops.count("D") == 0
+
+
+def test_pallas_interpret_matches_core():
+    """The Pallas kernel is the production TPU scoring path; pin it
+    bit-for-bit to sw_scan_core on CPU via interpret mode, covering
+    non-full qlens/tlens, the terminate (reverse) tracker, and the
+    first-maximum argmax (ADVICE r2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spacedust_tpu.ops.sw_pallas import score_grid, sw_scan_pallas
+    from spacedust_tpu.ops.sw_tiled import sw_scan_core
+
+    rng = np.random.default_rng(7)
+    B, Lq, Lt = 16, 128, 256
+    prof = jnp.asarray(rng.integers(-8, 12, (B, 21, Lq)).astype(np.int32))
+    tseq = jnp.asarray(rng.integers(0, 20, (B, Lt)).astype(np.int32))
+    qlens = jnp.asarray(
+        rng.integers(3, Lq + 1, B).astype(np.int32))
+    tlens = jnp.asarray(rng.integers(3, Lt + 1, B).astype(np.int32))
+    term_off = jnp.full(B, -1, jnp.int32)
+
+    ref = sw_scan_core(prof, tseq, qlens, tlens, 11, 1, term_off,
+                       t_tile=64, all_outputs=True)
+    S = score_grid(prof, tseq)
+    got = sw_scan_pallas(S, qlens, tlens, term_off, 11, 1,
+                         all_outputs=True, bt=8, tt=32, interpret=True)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=f"output {i}")
+
+    # terminate semantics: run reverse-style with terminate = the known
+    # best score; the tracker must find the first column reaching it
+    score = np.asarray(ref[0])
+    term = jnp.asarray(score.astype(np.int32))
+    ref_t = sw_scan_core(prof, tseq, qlens, tlens, 11, 1, term,
+                         t_tile=64, with_terminate=True)
+    got_t = sw_scan_pallas(S, qlens, tlens, term, 11, 1,
+                           with_terminate=True, bt=8, tt=32, interpret=True)
+    for i, (r, g) in enumerate(zip(ref_t, got_t)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=f"terminate output {i}")
