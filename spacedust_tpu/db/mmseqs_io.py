@@ -89,6 +89,23 @@ def write_flatdb(base: str | Path, entries: list[tuple[int, str]],
         Path(f"{base}.dbtype").write_bytes(struct.pack("<i", dbtype))
 
 
+def write_flatdb_bytes(base: str | Path, entries: list[tuple[int, bytes]],
+                       dbtype: int | None = None) -> None:
+    """write_flatdb for binary payloads (e.g. profile DBs): entries are
+    raw bytes, NUL-terminated like DBWriter's."""
+    base = Path(base)
+    with open(base, "wb") as data_fh, open(f"{base}.index", "w") as idx_fh:
+        offset = 0
+        for key, blob in entries:
+            blob = blob + b"\x00"
+            data_fh.write(blob)
+            idx_fh.write(f"{key}\t{offset}\t{len(blob)}\n")
+            offset += len(blob)
+    if dbtype is not None:
+        import struct
+        Path(f"{base}.dbtype").write_bytes(struct.pack("<i", dbtype))
+
+
 def read_lookup(base: str | Path) -> list[tuple[int, str, int]]:
     out = []
     with open(f"{base}.lookup") as fh:

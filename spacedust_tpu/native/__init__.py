@@ -23,12 +23,21 @@ _SOURCES = ["banded_sw.cpp", "tantan.cpp", "simd_helpers.cpp",
 
 
 def _build() -> Path:
+    import os
     srcs = [_DIR / s for s in _SOURCES]
     tag = hashlib.sha1(b"".join(s.read_bytes() for s in srcs)).hexdigest()[:12]
-    out = _DIR / f"_native_{tag}.so"
+    # SPACEDUST_NATIVE_SANITIZE=1 builds the engines under ASan+UBSan —
+    # the CI-style memory/race check (the reference runs its regression
+    # under an ASanOpt build, azure-pipelines.yml:36-39); run the suite
+    # via tools/run_asan.sh so libasan is preloaded into python
+    san = os.environ.get("SPACEDUST_NATIVE_SANITIZE") == "1"
+    out = _DIR / f"_native_{tag}{'_asan' if san else ''}.so"
     if not out.exists():
+        flags = (["-O1", "-g", "-fsanitize=address,undefined",
+                  "-fno-omit-frame-pointer"] if san
+                 else ["-O3", "-march=native"])
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+            ["g++", *flags, "-fopenmp", "-shared", "-fPIC",
              *[str(s) for s in srcs], "-o", str(out)],
             check=True, capture_output=True)
     return out
@@ -92,6 +101,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int16),   # sc3
             ctypes.POINTER(ctypes.c_int16),   # id3
             ctypes.POINTER(ctypes.c_int32),   # offsets
+            ctypes.POINTER(ctypes.c_uint64),  # occupied bitmap
             ctypes.POINTER(ctypes.c_int32),   # post_seq
             ctypes.POINTER(ctypes.c_int32),   # post_pos
             ctypes.POINTER(ctypes.c_uint8),   # tdata
@@ -126,6 +136,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_uint8,                   # mask_to
             ctypes.POINTER(ctypes.c_float),   # probs_out (nullable)
         ]
+        lib.offsets_bitmap.restype = ctypes.c_int
+        lib.offsets_bitmap.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64)]
         lib.build_kmer_index.restype = ctypes.c_int
         lib.build_kmer_index.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -301,8 +315,19 @@ def build_kmer_index(tdata: np.ndarray, toffs: np.ndarray,
     return out_kmer[:n], out_seq[:n], out_pos[:n], offsets
 
 
+def offsets_bitmap(offsets: np.ndarray) -> np.ndarray:
+    """64M-bit k-mer occupancy bitmap from the dense offset table."""
+    lib = get_lib()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32)
+    n = len(offsets) - 1
+    out = np.empty((n + 63) // 64, dtype=np.uint64)
+    lib.offsets_bitmap(_ptr(offsets, ctypes.c_int32), ctypes.c_int64(n),
+                       _ptr(out, ctypes.c_uint64))
+    return out
+
+
 def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
-                          sc3, id3, offsets, post_seq, post_pos,
+                          sc3, id3, offsets, occupied, post_seq, post_pos,
                           tdata, toffs, tlens, ungapped_sub, x_index,
                           kmer_thr, max_seqs, min_diag_score, bin_count,
                           identity_base, cov_thr, cov_mode):
@@ -329,8 +354,8 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         _ptr(seed_sub, ctypes.c_int32), _ptr(p_back, ctypes.c_double),
         seed_sub.shape[0], int(do_bias),
         _ptr(sc3, ctypes.c_int16), _ptr(id3, ctypes.c_int16),
-        _ptr(offsets, ctypes.c_int32), _ptr(post_seq, ctypes.c_int32),
-        _ptr(post_pos, ctypes.c_int32),
+        _ptr(offsets, ctypes.c_int32), _ptr(occupied, ctypes.c_uint64),
+        _ptr(post_seq, ctypes.c_int32), _ptr(post_pos, ctypes.c_int32),
         _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
         _ptr(tlens, ctypes.c_int32), nt,
         _ptr(ungapped_sub, ctypes.c_int32), ungapped_sub.shape[0],

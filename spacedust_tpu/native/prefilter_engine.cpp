@@ -121,8 +121,9 @@ int prefilter_match_batch(
     const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
     // seed tables
     const int16_t* sc3, const int16_t* id3,
-    // posting index
-    const int32_t* offsets, const int32_t* post_seq, const int32_t* post_pos,
+    // posting index (+ 64M-bit occupancy bitmap, one bit per k-mer)
+    const int32_t* offsets, const uint64_t* occupied,
+    const int32_t* post_seq, const int32_t* post_pos,
     // masked target residues (for the ungapped rescore)
     const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
     // ungapped scoring matrix, row-major (alpha x alpha) int32
@@ -203,13 +204,20 @@ int prefilter_match_batch(
           }
         }
 
-        // posting lookups with software prefetch (random 256 MB table)
+        // posting lookups: an 8 MB occupancy bitmap screens the ~97%
+        // empty k-mer buckets from cache (the dense offset table is
+        // 256 MB; random DRAM reads there dominate the lookup phase),
+        // with software prefetch on both levels
         const size_t ng = gen_kmers.size();
         constexpr size_t kAhead = 16;
         for (size_t t = 0; t < ng; ++t) {
           if (t + kAhead < ng)
-            __builtin_prefetch(&offsets[gen_kmers[t + kAhead]]);
+            __builtin_prefetch(
+                &occupied[static_cast<uint32_t>(gen_kmers[t + kAhead]) >> 6]);
           const int32_t km = gen_kmers[t];
+          if (!(occupied[static_cast<uint32_t>(km) >> 6]
+                & (1ull << (km & 63))))
+            continue;
           const int32_t lo = offsets[km];
           const int32_t hi = offsets[km + 1];
           for (int32_t p = lo; p < hi; ++p) {
@@ -525,6 +533,25 @@ int build_kmer_index(
         out_pos[at] = wp[i];
       }
     }
+  }
+  return 0;
+}
+
+// Occupancy bitmap over the dense offset table: bit k set iff k-mer k
+// has postings.  8 MB vs the 256 MB table — the match loop screens the
+// ~97% empty buckets through it so lookups stay cache-resident.
+int offsets_bitmap(const int32_t* offsets, int64_t table_size,
+                   uint64_t* bitmap /* (table_size+63)/64 words */) {
+  const int64_t words = (table_size + 63) >> 6;
+  std::memset(bitmap, 0, words * sizeof(uint64_t));
+#pragma omp parallel for schedule(static)
+  for (int64_t wd = 0; wd < words; ++wd) {
+    uint64_t v = 0;
+    const int64_t base = wd << 6;
+    const int64_t end = std::min<int64_t>(64, table_size - base);
+    for (int64_t b = 0; b < end; ++b)
+      if (offsets[base + b + 1] > offsets[base + b]) v |= 1ull << b;
+    bitmap[wd] = v;
   }
   return 0;
 }

@@ -156,6 +156,17 @@ class DeviceAlignDB:
         self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
                         "n_executables": 0, "n_batches": 0}
 
+    def _resident(self):
+        return (self.qdata, self.qbias, self.tdata, self.sub)
+
+    def _lower(self, lq: int, lt: int, B: int, gap_open: int,
+               gap_extend: int):
+        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+        return _sw_bucket.lower(
+            *[sds(a) for a in self._resident()],
+            jax.ShapeDtypeStruct((6, B), jnp.int32),
+            Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend)
+
     def get_compiled(self, lq: int, lt: int, gap_open: int, gap_extend: int):
         """AOT executable for one bucket shape (compiles on first use;
         concurrent compiles of different shapes are allowed — the lock
@@ -168,12 +179,7 @@ class DeviceAlignDB:
             return c
         t0 = time.perf_counter()
         B = batch_width(lq, lt)
-        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-        c = _sw_bucket.lower(
-            sds(self.qdata), sds(self.qbias), sds(self.tdata),
-            sds(self.sub), jax.ShapeDtypeStruct((6, B), jnp.int32),
-            Lq=lq, Lt=lt, gap_open=gap_open,
-            gap_extend=gap_extend).compile()
+        c = self._lower(lq, lt, B, gap_open, gap_extend).compile()
         dt = time.perf_counter() - t0
         with self._lock:
             if key in self._compiled:       # lost a benign race
@@ -198,8 +204,7 @@ class DeviceAlignDB:
             params = np.zeros((6, B), dtype=np.int32)
             params[1] = params[3] = 1
             params[4] = -1
-            return fn(self.qdata, self.qbias, self.tdata, self.sub,
-                      jnp.asarray(params))
+            return fn(*self._resident(), jnp.asarray(params))
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             rs = list(pool.map(one, rungs))
@@ -230,8 +235,7 @@ class DeviceAlignDB:
                 params[4, :e - s] = term[s:e]
                 params[4, e - s:] = -1
                 params[5, :] = 1 if reverse else 0
-                r = fn(self.qdata, self.qbias, self.tdata, self.sub,
-                       jnp.asarray(params))
+                r = fn(*self._resident(), jnp.asarray(params))
                 pending.append((pos[s:e], r))
                 self.metrics["n_batches"] += 1
         self.metrics["dispatch_s"] += time.perf_counter() - t0
@@ -267,21 +271,23 @@ class DeviceAlignDB:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "reverse"))
-def _sw_bucket_struct(qss, qaa, tss, taa, m3di, aasc, qoff, qlen, toff, tlen,
-                      terminate, *, Lq: int, Lt: int, gap_open: int,
-                      gap_extend: int, reverse: bool):
+    static_argnames=("Lq", "Lt", "gap_open", "gap_extend"))
+def _sw_bucket_struct(qss, qaa, tss, taa, m3di, aasc, params,
+                      *, Lq: int, Lt: int, gap_open: int, gap_extend: int):
     """Structure-mode bucket: combined 3Di x AA scoring decomposed into
     two 21-wide MXU dots (S = mat3di[q_ss, t_ss] + aa_scaled[q_aa, t_aa],
-    search/structure.py) over resident token arrays."""
+    search/structure.py) over resident token arrays.  Same (6, B) params
+    and 6-output contract as _sw_bucket."""
+    qoff, qlen, toff, tlen, terminate, rev = [params[i] for i in range(6)]
     iq = np.arange(Lq, dtype=np.int32)
     it = np.arange(Lt, dtype=np.int32)
-    if reverse:
-        q_idx = qoff[:, None] + jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0)
-        t_idx = toff[:, None] + jnp.maximum(tlen[:, None] - 1 - it[None, :], 0)
-    else:
-        q_idx = qoff[:, None] + jnp.minimum(iq[None, :], qlen[:, None] - 1)
-        t_idx = toff[:, None] + jnp.minimum(it[None, :], tlen[:, None] - 1)
+    r = rev[:, None] != 0
+    q_idx = qoff[:, None] + jnp.where(
+        r, jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0),
+        jnp.minimum(iq[None, :], qlen[:, None] - 1))
+    t_idx = toff[:, None] + jnp.where(
+        r, jnp.maximum(tlen[:, None] - 1 - it[None, :], 0),
+        jnp.minimum(it[None, :], tlen[:, None] - 1))
 
     def prof_for(tokens, sub):
         qt = tokens[q_idx].astype(jnp.int32)            # (B, Lq)
@@ -300,49 +306,33 @@ def _sw_bucket_struct(qss, qaa, tss, taa, m3di, aasc, qoff, qlen, toff, tlen,
     t2 = taa[t_idx].astype(jnp.int32)
     return sw_scan_core(p1, t1, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
-                        with_terminate=reverse, prof2=p2, tseq2=t2)
+                        all_outputs=True, prof2=p2, tseq2=t2)
 
 
-class StructureDeviceDB:
+class StructureDeviceDB(DeviceAlignDB):
     """Device-resident 3Di + AA token arrays (structure search mode);
-    same run_buckets contract as DeviceAlignDB."""
+    same dispatch/collect/warm contract as DeviceAlignDB."""
 
     def __init__(self, qss, qaa, tss, taa, m3di, aasc):
-        self.qss = jnp.asarray(qss.astype(np.int8))
-        self.qaa = jnp.asarray(qaa.astype(np.int8))
-        self.tss = jnp.asarray(tss.astype(np.int8))
-        self.taa = jnp.asarray(taa.astype(np.int8))
+        import threading
+        self.qss = jnp.asarray(_pow2_pad(qss.astype(np.int8)))
+        self.qaa = jnp.asarray(_pow2_pad(qaa.astype(np.int8)))
+        self.tss = jnp.asarray(_pow2_pad(tss.astype(np.int8)))
+        self.taa = jnp.asarray(_pow2_pad(taa.astype(np.int8)))
         self.m3di = jnp.asarray(m3di.astype(np.int32))
         self.aasc = jnp.asarray(aasc.astype(np.int32))
+        self._compiled = {}
+        self._lock = threading.Lock()
+        self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
+                        "n_executables": 0, "n_batches": 0}
 
-    def run_buckets(self, jobs, gap_open: int, gap_extend: int,
-                    reverse: bool):
-        pending = []
-        for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
-            B = batch_width(lq, lt)
-            for s in range(0, len(qoff), B):
-                e = min(s + B, len(qoff))
-                pad = B - (e - s)
-                def padded(a, fill=0):
-                    c = a[s:e]
-                    return np.pad(c, (0, pad), constant_values=fill) if pad \
-                        else c
-                r = _sw_bucket_struct(
-                    self.qss, self.qaa, self.tss, self.taa,
-                    self.m3di, self.aasc,
-                    jnp.asarray(padded(qoff)), jnp.asarray(padded(qlen, 1)),
-                    jnp.asarray(padded(toff)), jnp.asarray(padded(tlen, 1)),
-                    jnp.asarray(padded(term)),
-                    Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend,
-                    reverse=reverse)
-                pending.append((pos[s:e], r))
-        if not pending:
-            return []
-        flat = np.asarray(_concat_results([r for _, r in pending]))
-        out, col = [], 0
-        for pos, r in pending:
-            b = r[0].shape[0]
-            out.append((pos, tuple(flat[i, col:col + len(pos)]
-                                   for i in range(len(r)))))
-            col += b
-        return out
+    def _resident(self):
+        return (self.qss, self.qaa, self.tss, self.taa, self.m3di, self.aasc)
+
+    def _lower(self, lq: int, lt: int, B: int, gap_open: int,
+               gap_extend: int):
+        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+        return _sw_bucket_struct.lower(
+            *[sds(a) for a in self._resident()],
+            jax.ShapeDtypeStruct((6, B), jnp.int32),
+            Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend)

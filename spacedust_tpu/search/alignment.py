@@ -134,11 +134,16 @@ class AlignmentEngine:
                  params: AlignmentParams | None = None,
                  matrix: SubstitutionMatrix | None = None,
                  same_qt_db: bool | None = None,
-                 query_profiles: dict[int, np.ndarray] | None = None):
+                 query_profiles: dict[int, np.ndarray] | None = None,
+                 query_profile_seqs: dict[int, np.ndarray] | None = None):
         """`query_profiles` maps query keys to (L, 21) int8 alignment
         profiles (the reference's profile_for_alignment = pssm/4 with the
         X column zeroed, Sequence.cpp:271-280); such queries are scored
-        per-position (PROFILE_SEQ) with no composition bias."""
+        per-position (PROFILE_SEQ) with no composition bias.
+        `query_profile_seqs` optionally carries each profile's stored
+        query-residue column (Sequence.cpp:254, possibly tantan-masked at
+        profile build time) — identity counting must use it, not the
+        underlying gene sequence, for seqId bit-parity."""
         self.qdb = query_db
         self.tdb = target_db
         self.par = params or AlignmentParams()
@@ -148,6 +153,7 @@ class AlignmentEngine:
         self.same_qt_db = (same_qt_db if same_qt_db is not None
                            else query_db is target_db)
         self.query_profiles = query_profiles or {}
+        self.query_profile_seqs = query_profile_seqs or {}
         self._bias_cache: dict[int, np.ndarray] = {}
         # scoring alphabet width; subclasses may widen it (the structure
         # mode scores over the combined 3Di x AA alphabet of 441 symbols)
@@ -379,42 +385,48 @@ class AlignmentEngine:
                 ci += 1
         return frag_start
 
+    def _survivor_filter(self, pairs, fwd, pair_base: int):
+        """Stage 2 for one pair fragment: E-value/end-coverage filters
+        (vectorized) -> survivor tuples + {global pair idx: local surv
+        idx} (the reverse-pass batch)."""
+        par = self.par
+        surv_of_pair: dict[int, int] = {}
+        survivors: list[tuple[int, int, int, int, int, float]] = []
+        if not pairs:
+            return survivors, surv_of_pair
+        n = len(pairs)
+        pqk = np.fromiter((p[0] for p in pairs), np.int64, n)
+        ptk = np.fromiter((p[1] for p in pairs), np.int64, n)
+        scores = np.fromiter((f[0] for f in fwd), np.int64, n)
+        q_ends = np.fromiter((f[1] for f in fwd), np.int64, n)
+        t_ends = np.fromiter((f[2] for f in fwd), np.int64, n)
+        qlens = self.qdb.lengths[pqk].astype(np.int64)
+        tlens = self.tdb.lengths[ptk].astype(np.int64)
+        evalues = self.evaluer.compute_evalue(scores, qlens)
+        qcov0 = _cov_vec(np.zeros(n, np.int64), q_ends, qlens)
+        tcov0 = _cov_vec(np.zeros(n, np.int64), t_ends, tlens)
+        keep = ((t_ends >= 0) & (evalues <= par.eval_thr)
+                & _has_coverage_vec(par.cov_thr, par.cov_mode,
+                                    qcov0, tcov0))
+        for pi in np.nonzero(keep)[0]:
+            surv_of_pair[pair_base + int(pi)] = len(survivors)
+            survivors.append((int(pqk[pi]), int(ptk[pi]),
+                              int(scores[pi]), int(q_ends[pi]),
+                              int(t_ends[pi]), float(evalues[pi])))
+        return survivors, surv_of_pair
+
     def _post_forward(self, items: dict[int, list],
                       pairs: list[tuple[int, int]], fwd
                       ) -> dict[int, list[AlnRecord]]:
-        par = self.par
-        # Stage 2: E-value/end-coverage filters -> reverse-pass batch
-        # (vectorized: evaluer + coverage over all forward results)
-        surv_of_pair: dict[int, int] = {}
-        survivors: list[tuple[int, int, int, int, int, float]] = []
-        qlens_all = self.qdb.lengths
-        tlens_all = self.tdb.lengths
-        if pairs:
-            n = len(pairs)
-            pqk = np.fromiter((p[0] for p in pairs), np.int64, n)
-            ptk = np.fromiter((p[1] for p in pairs), np.int64, n)
-            scores = np.fromiter((f[0] for f in fwd), np.int64, n)
-            q_ends = np.fromiter((f[1] for f in fwd), np.int64, n)
-            t_ends = np.fromiter((f[2] for f in fwd), np.int64, n)
-            qlens = qlens_all[pqk].astype(np.int64)
-            tlens = tlens_all[ptk].astype(np.int64)
-            evalues = self.evaluer.compute_evalue(scores, qlens)
-            qcov0 = _cov_vec(np.zeros(n, np.int64), q_ends, qlens)
-            tcov0 = _cov_vec(np.zeros(n, np.int64), t_ends, tlens)
-            keep = ((t_ends >= 0) & (evalues <= par.eval_thr)
-                    & _has_coverage_vec(par.cov_thr, par.cov_mode,
-                                        qcov0, tcov0))
-            for pi in np.nonzero(keep)[0]:
-                surv_of_pair[int(pi)] = len(survivors)
-                survivors.append((int(pqk[pi]), int(ptk[pi]),
-                                  int(scores[pi]), int(q_ends[pi]),
-                                  int(t_ends[pi]), float(evalues[pi])))
-
+        survivors, surv_of_pair = self._survivor_filter(pairs, fwd, 0)
         starts = self._run_reverse(survivors)
-
-        # Stage 3: final coverage + traceback + checkCriteria
         recs = self._finish_pairs(survivors, starts)
+        return self._accept_stage(items, surv_of_pair, recs)
 
+    def _accept_stage(self, items: dict[int, list],
+                      surv_of_pair: dict[int, int], recs
+                      ) -> dict[int, list[AlnRecord]]:
+        par = self.par
         # Stage 4: per-query accept/reject state machine in prefilter order
         accepted: dict[int, list[AlnRecord]] = {qk: [] for qk in items}
         for qk, lst in items.items():
@@ -661,39 +673,50 @@ class AlignmentEngine:
             return out  # type: ignore[return-value]
         return self._run_forward_host(pairs)
 
+    def _reverse_jobs(self, survivors, base: int):
+        """Bucketed reverse jobs for a survivor fragment (reversed
+        prefixes [0..q_end] x [0..t_end], terminate = forward score);
+        positions are global survivor indices."""
+        from ..ops.sw_engine import bucket_len
+        n = len(survivors)
+        qk = np.fromiter((s[0] for s in survivors), np.int64, n)
+        tk = np.fromiter((s[1] for s in survivors), np.int64, n)
+        term = np.fromiter((s[2] for s in survivors), np.int32, n)
+        ql = np.fromiter((s[3] + 1 for s in survivors), np.int32, n)
+        tl = np.fromiter((s[4] + 1 for s in survivors), np.int32, n)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i in range(n):
+            r = bucket_len(max(int(ql[i]), int(tl[i])))
+            buckets.setdefault((r, r), []).append(i)
+        jobs = []
+        for key, idxs in sorted(buckets.items()):
+            sel = np.asarray(idxs, dtype=np.int64)
+            jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
+                         self._toffs32[tk[sel]], tl[sel],
+                         term[sel], sel + base))
+        return jobs
+
+    def _decode_reverse(self, collected, survivors, out) -> None:
+        for pos, (_s, _gj, _gi, found, fj, fi) in collected:
+            for bi, sidx in enumerate(pos):
+                if not found[bi]:
+                    raise RuntimeError(
+                        "forward/backward SW scores differ for "
+                        f"q={survivors[sidx][0]} t={survivors[sidx][1]}")
+                q_end, t_end = survivors[sidx][3], survivors[sidx][4]
+                out[sidx] = (q_end - int(fi[bi]), t_end - int(fj[bi]))
+
     def _run_reverse(self, survivors) -> list[tuple[int, int]]:
         if not survivors:
             return []
         dev = self._device_db()
         if dev is not None:
-            from ..ops.sw_engine import bucket_len
-            n = len(survivors)
-            qk = np.fromiter((s[0] for s in survivors), np.int64, n)
-            tk = np.fromiter((s[1] for s in survivors), np.int64, n)
-            term = np.fromiter((s[2] for s in survivors), np.int32, n)
-            ql = np.fromiter((s[3] + 1 for s in survivors), np.int32, n)
-            tl = np.fromiter((s[4] + 1 for s in survivors), np.int32, n)
-            buckets: dict[tuple[int, int], list[int]] = {}
-            for i in range(n):
-                r = bucket_len(max(int(ql[i]), int(tl[i])))
-                buckets.setdefault((r, r), []).append(i)
-            jobs = []
-            for key, idxs in sorted(buckets.items()):
-                sel = np.asarray(idxs, dtype=np.int64)
-                jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
-                             self._toffs32[tk[sel]], tl[sel],
-                             term[sel], sel))
-            out: list[tuple[int, int] | None] = [None] * n
-            for pos, (_s, _gj, _gi, found, fj, fi) in dev.run_buckets(
-                    jobs, self.par.gap_open, self.par.gap_extend,
-                    reverse=True):
-                for bi, sidx in enumerate(pos):
-                    if not found[bi]:
-                        raise RuntimeError(
-                            "forward/backward SW scores differ for "
-                            f"q={survivors[sidx][0]} t={survivors[sidx][1]}")
-                    q_end, t_end = survivors[sidx][3], survivors[sidx][4]
-                    out[sidx] = (q_end - int(fi[bi]), t_end - int(fj[bi]))
+            jobs = self._reverse_jobs(survivors, 0)
+            out: list[tuple[int, int] | None] = [None] * len(survivors)
+            self._decode_reverse(
+                dev.run_buckets(jobs, self.par.gap_open,
+                                self.par.gap_extend, reverse=True),
+                survivors, out)
             return out  # type: ignore[return-value]
         return self._run_reverse_host(survivors)
 
@@ -874,14 +897,16 @@ class AlignmentEngine:
             return None
 
         # banded traceback in the rectangle; identity count vectorized
+        # (profile queries compare the profile's stored query column)
         ops = self._traceback(qk, tk, q_start, q_end, t_start, t_end, score)
+        qid_seq = self.query_profile_seqs.get(qk, qseq)
         b = np.frombuffer(ops.encode(), dtype=np.uint8)
         is_m = b == ord("M")
         q_adv = is_m | (b == ord("I"))
         t_adv = is_m | (b == ord("D"))
         qp = q_start + np.cumsum(q_adv) - q_adv
         tp = t_start + np.cumsum(t_adv) - t_adv
-        aa_ids = int((qseq[qp[is_m]] == tseq[tp[is_m]]).sum())
+        aa_ids = int((qid_seq[qp[is_m]] == tseq[tp[is_m]]).sum())
         aln_len = len(ops)
         seq_id = np.float32(aa_ids) / np.float32(aln_len)
         bit = int(self.evaluer.compute_bit_score(score) + 0.5)
@@ -911,9 +936,14 @@ class _AlignStream:
         self.eng = eng
         self.items: dict[int, list] = {}
         self.pairs: list[tuple[int, int]] = []
-        self._pending: list = []
         self._dev = None
         self._dev_checked = False
+        # device pipeline state: queued forward fragments awaiting
+        # absorption, global survivor list, dispatched reverse batches
+        self._fwd_queue: list[tuple[int, int, list]] = []
+        self._survivors: list = []
+        self._surv_of_pair: dict[int, int] = {}
+        self._rev_pending: list = []
 
     def add(self, candidates: dict[int, list[int]]) -> None:
         eng = self.eng
@@ -926,14 +956,38 @@ class _AlignStream:
             self._dev_checked = True
         if self._dev is not None:
             jobs = eng._forward_jobs(frag, frag_start)
-            self._pending += self._dev.dispatch(
-                jobs, eng.par.gap_open, eng.par.gap_extend, reverse=False)
+            pend = self._dev.dispatch(jobs, eng.par.gap_open,
+                                      eng.par.gap_extend, reverse=False)
+            self._fwd_queue.append((frag_start, len(self.pairs), pend))
+            # absorb older fragments (their device work overlapped this
+            # fragment's prefilter): filter survivors, dispatch reverse
+            while len(self._fwd_queue) > 1:
+                self._absorb(*self._fwd_queue.pop(0))
+
+    def _absorb(self, start: int, end: int, pend: list) -> None:
+        eng = self.eng
+        frag_pairs = self.pairs[start:end]
+        fwd: list = [None] * len(self.pairs)
+        eng._decode_forward(self._dev.collect(pend), fwd)
+        surv, sop = eng._survivor_filter(frag_pairs, fwd[start:end], start)
+        base = len(self._survivors)
+        self._surv_of_pair.update(
+            {pi: base + si for pi, si in sop.items()})
+        self._survivors.extend(surv)
+        if surv:
+            jobs = eng._reverse_jobs(surv, base)
+            self._rev_pending += self._dev.dispatch(
+                jobs, eng.par.gap_open, eng.par.gap_extend, reverse=True)
 
     def finish(self) -> dict[int, list[AlnRecord]]:
         eng = self.eng
-        if self._dev is not None:
-            fwd: list = [None] * len(self.pairs)
-            eng._decode_forward(self._dev.collect(self._pending), fwd)
-        else:
+        if self._dev is None:
             fwd = eng._run_forward_host(self.pairs)
-        return eng._post_forward(self.items, self.pairs, fwd)
+            return eng._post_forward(self.items, self.pairs, fwd)
+        while self._fwd_queue:
+            self._absorb(*self._fwd_queue.pop(0))
+        starts: list = [None] * len(self._survivors)
+        eng._decode_reverse(self._dev.collect(self._rev_pending),
+                            self._survivors, starts)
+        recs = eng._finish_pairs(self._survivors, starts)
+        return eng._accept_stage(self.items, self._surv_of_pair, recs)

@@ -31,7 +31,10 @@ EXPAND_TRANSFER_EVALUE = 0
 EXPAND_RESCORE_BACKTRACE = 1
 
 # transitions[ab_state][bc_state] -> composed state ('' = emit nothing)
-_STATE = {"M": 0, "I": 1, "D": 2}
+# (BacktraceTranslator.h:25-33: MM=M IM=I DM=D MD=D ID='' DD=D MI=I
+#  II=I DI='')
+_STATE = {"M": 0, "I": 1, "D": 2}      # row index: ab state
+_BC_COL = {"M": 0, "D": 1, "I": 2}     # column index: bc state
 _TRANS = (
     ("M", "D", "I"),   # ab = M : bc = M, D, I
     ("I", "", "I"),    # ab = I
@@ -80,7 +83,7 @@ def translate_backtrace(ab: AlnRecord, bc: AlnRecord
     n_ab, n_bc = len(bt_ab), len(bt_bc)
     while off_ab < n_ab and off_bc < n_bc:
         i += 1
-        t = _TRANS[_STATE[bt_ab[off_ab]]][_STATE[bt_bc[off_bc]]]
+        t = _TRANS[_STATE[bt_ab[off_ab]]][_BC_COL[bt_bc[off_bc]]]
         if t == "":
             i -= 1
         else:

@@ -213,6 +213,8 @@ class KmerIndex:
         self.positions = pos
         self.offsets = off
         self.offsets32 = off
+        from ..native import offsets_bitmap
+        self.occupied = offsets_bitmap(off)
 
     def _build_postings(self, lens: np.ndarray) -> None:
         """All-sequences-at-once window extraction over the concatenated
@@ -324,6 +326,8 @@ class KmerIndex:
         self.seq_ids = z["seq_ids"]
         self.positions = z["positions"]
         self._finish_offsets()
+        from ..native import offsets_bitmap
+        self.occupied = offsets_bitmap(self.offsets32)
         return self
 
 
@@ -606,7 +610,8 @@ class PrefilterEngine:
             self.comp_bias,
             np.ascontiguousarray(self.tables.scores, dtype=np.int16),
             np.ascontiguousarray(self.tables.idx, dtype=np.int16),
-            idx.offsets32, np.ascontiguousarray(idx.seq_ids, dtype=np.int32),
+            idx.offsets32, idx.occupied,
+            np.ascontiguousarray(idx.seq_ids, dtype=np.int32),
             np.ascontiguousarray(idx.positions, dtype=np.int32),
             np.ascontiguousarray(idx.t_data, dtype=np.uint8),
             np.ascontiguousarray(idx.t_offsets, dtype=np.int64),

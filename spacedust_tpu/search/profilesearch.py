@@ -47,7 +47,13 @@ def swap_record(rec: AlnRecord, qkey: int, evaluer: EvalueComputation
     raw = float(evaluer.compute_raw_score_from_bit_score(rec.score))
     evalue = float(evaluer.compute_evalue(raw, rec.tlen))
     bt = rec.backtrace.replace("I", "x").replace("D", "I").replace("x", "D")
-    return AlnRecord(tkey=qkey, score=rec.score, seq_id=rec.seq_id,
+    # swapresults re-parses the serialized record, so the seqId passes
+    # through its printed 3-digit form (strtod of fastSeqIdToBuffer
+    # output) and the final print truncates again: 0.2517 -> "0.251" ->
+    # 0.250999.. -> "0.250" (swapresults.cpp record round-trip)
+    from ..stats.fmt import fmt_seq_id
+    seq_id = float(np.float32(float(fmt_seq_id(rec.seq_id))))
+    return AlnRecord(tkey=qkey, score=rec.score, seq_id=seq_id,
                      evalue=evalue,
                      qstart=rec.tstart, qend=rec.tend, qlen=rec.tlen,
                      tstart=rec.qstart, tend=rec.qend, tlen=rec.qlen,
@@ -57,12 +63,14 @@ def swap_record(rec: AlnRecord, qkey: int, evaluer: EvalueComputation
 
 @dataclass
 class ProfileSearchParams:
-    """clustersearch --profile-cluster-search defaults
-    (src/workflow/clustersearch.cpp:29-36): e 1e-3, 100 results,
-    query-cov 0.8, aln len 30, s 5.7."""
+    """clustersearch --profile-cluster-search search-stage parameters as
+    actually invoked (oracle run log: searchtargetprofile.sh with -e 10,
+    --max-seqs 300, query-cov 0.8, aln len 30, s 5.7; the 1e-3 threshold
+    lives in expandaln and profile construction, not the search)."""
     sensitivity: float = 5.7
-    eval_thr: float = 1e-3
-    max_res_list_len: int = 100
+    eval_thr: float = 10.0
+    max_res_list_len: int = 300
+    aln_len_thr: int = 30
     cov_thr: float = 0.8
     cov_mode: int = COV_MODE_QUERY
     aln_len_thr: int = 30
@@ -70,6 +78,231 @@ class ProfileSearchParams:
     gap_extend: int = 1
     mask: bool = True
     comp_bias_correction: bool = True
+    # statistics overrides for searching a SUBSET of a larger profile DB
+    # with the full DB's E-value semantics (oracle parity tests): the
+    # eval-scale denominator (#profiles) and the swapped-search target
+    # residue count (sum of ALL profile lengths)
+    n_profiles_override: int | None = None
+    profile_res_override: int | None = None
+
+
+class TargetProfilePrefilter:
+    """Gene-vs-profile-target prefilter (searchtargetprofile.sh stage 1;
+    lib/mmseqs/src/prefiltering/IndexBuilder.cpp:100-140): the PROFILES
+    are indexed — per profile position-window, every 6-mer whose PSSM
+    score reaches the profile k-mer threshold is posted — while gene
+    queries contribute only their exact spaced k-mer per window
+    (takeOnlyBestKmer, Prefiltering.cpp:176-178; the bias-shifted
+    query threshold is bypassed, QueryMatcher.cpp:249-253).  Diagonal
+    rescoring runs the gene's blosum62+bias profile against the target
+    profile's CONSENSUS residues (SequenceLookup stores
+    numConsensusSequence for profiles, IndexBuilder.cpp:123-126)."""
+
+    def __init__(self, query_db: SetDB, cdb, sensitivity: float = 5.7,
+                 max_seqs: int = 300, cov_thr: float = 0.8,
+                 cov_mode: int = COV_MODE_QUERY,
+                 comp_bias_correction: bool = True):
+        from .prefilter import (KMER_SIZE, SPACED_PATTERN_6, SEED_ALPHA,
+                                kmer_score_threshold, ranked_desc_sort20,
+                                spaced_kmers, _ragged_arange,
+                                compute_bin_count)
+        from ..native import fill_offset_table, offsets_bitmap
+        self.qdb = query_db
+        self.cdb = cdb
+        self.max_seqs = max_seqs
+        self.cov_thr = cov_thr
+        self.cov_mode = cov_mode
+        self.comp_bias = comp_bias_correction
+        self.kmer_thr = kmer_score_threshold(sensitivity, profile=True)
+        self.rep_keys = list(cdb.rep_keys)
+        rep_index = {r: i for i, r in enumerate(self.rep_keys)}
+        self._rep_index = rep_index
+
+        # --- index build: per-profile similar-k-mer beam ---------------
+        powers = SEED_ALPHA ** np.arange(KMER_SIZE, dtype=np.int64)
+        big = np.int64(1) << 20
+        all_kmers, all_rep, all_pos = [], [], []
+        for r in self.rep_keys:
+            pssm = cdb.pssms[r]                     # (L, 20) int16
+            L = pssm.shape[0]
+            nw = L - 10 + 1
+            if nw <= 0:
+                continue
+            sc, ix = ranked_desc_sort20(pssm)
+            neg_flat = (-sc.astype(np.int64)
+                        + np.arange(L, dtype=np.int64)[:, None] * big).ravel()
+            starts = np.arange(nw, dtype=np.int64)
+            rows = starts[:, None] + SPACED_PATTERN_6[None, :].astype(np.int64)
+            best = sc[:, 0].astype(np.int64)
+            # rest[w, p] = max attainable from levels > p
+            rbest = best[rows]                       # (nw, 6)
+            rest = np.concatenate(
+                [np.cumsum(rbest[:, ::-1], axis=1)[:, ::-1][:, 1:],
+                 np.zeros((nw, 1), np.int64)], axis=1)
+            part_s = np.zeros(nw, dtype=np.int64)
+            part_k = np.zeros(nw, dtype=np.int64)
+            wi = np.arange(nw, dtype=np.int64)
+            dead = False
+            for p in range(KMER_SIZE):
+                row = rows[wi, p]
+                cut = self.kmer_thr - part_s - rest[wi, p]
+                keys = row * big - cut
+                n_p = (np.searchsorted(neg_flat, keys, side="right")
+                       - row * 20)
+                total = int(n_p.sum())
+                if total == 0:
+                    dead = True
+                    break
+                repn = np.repeat(np.arange(len(part_s)), n_p)
+                j = _ragged_arange(n_p)
+                part_s = part_s[repn] + sc[row[repn], j].astype(np.int64)
+                part_k = part_k[repn] + (ix[row[repn], j].astype(np.int64)
+                                         * powers[p])
+                wi = wi[repn]
+            if dead:
+                continue
+            # first occurrence per (kmer, profile): min window pos
+            order = np.lexsort((wi, part_k))
+            pk, pw = part_k[order], wi[order]
+            first = np.concatenate(([True], pk[1:] != pk[:-1]))
+            all_kmers.append(pk[first])
+            all_rep.append(np.full(int(first.sum()), rep_index[r], np.int32))
+            all_pos.append(pw[first].astype(np.int32))
+        if all_kmers:
+            km = np.concatenate(all_kmers)
+            rp = np.concatenate(all_rep)
+            ps = np.concatenate(all_pos)
+            order = np.lexsort((ps, rp, km))
+            km, rp, ps = km[order], rp[order], ps[order]
+        else:
+            km = np.empty(0, np.int64)
+            rp = np.empty(0, np.int32)
+            ps = np.empty(0, np.int32)
+        bnd = (np.flatnonzero(km[1:] != km[:-1]) + 1 if len(km)
+               else np.empty(0, np.int64))
+        st = np.concatenate(([0], bnd))
+        uk = km[st] if len(km) else np.empty(0, np.int64)
+        cnt = np.diff(np.concatenate((st, [len(km)])))
+        self.offsets = fill_offset_table(uk, cnt.astype(np.int32),
+                                         SEED_ALPHA ** KMER_SIZE + 1)
+        self.post_rep = rp
+        self.post_pos = ps
+        # consensus residues back the diagonal rescore
+        self.cons = [np.ascontiguousarray(cdb.consensus[r], dtype=np.uint8)
+                     for r in self.rep_keys]
+        lens = np.array([len(c) for c in self.cons], dtype=np.int64)
+        self.t_offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        self.t_data = (np.concatenate(self.cons) if len(self.cons)
+                       else np.empty(0, np.uint8))
+        self.t_lens = lens
+        self._bin_count = compute_bin_count(len(self.rep_keys))
+
+    def match_query(self, qk: int) -> list[int]:
+        """Candidate profile reps for one gene (exact-k-mer match +
+        double diagonal + consensus rescore + histogram cap), in the
+        emitted prefilter order."""
+        from ..constants import X_INDEX
+        from ..stats.submat import (load_pinned_matrix,
+                                    local_aa_bias_correction)
+        from .prefilter import (spaced_kmers, pack_kmers,
+                                _find_double_diagonals, _per_target_max,
+                                _score_threshold)
+        qseq = self.qdb.sequence(qk)
+        starts, kmers = spaced_kmers(qseq)
+        valid = ~(kmers == X_INDEX).any(axis=1)
+        starts, kmers = starts[valid], kmers[valid]
+        if len(starts) == 0:
+            return []
+        packed = pack_kmers(kmers)
+        lo = self.offsets[packed]
+        hi = self.offsets[packed + 1]
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return []
+        from .prefilter import _ragged_arange
+        k_rep = np.repeat(np.arange(len(packed)), cnt)
+        take = lo[k_rep] + _ragged_arange(cnt)
+        seqs = self.post_rep[take]
+        diags = ((starts[k_rep] - self.post_pos[take])
+                 & 0xFFFF).astype(np.uint16)
+        cand_seq, cand_diag, arrival = _find_double_diagonals(seqs, diags)
+        scores = self._rescore(qseq, cand_seq, cand_diag)
+        hits = _per_target_max(cand_seq, cand_diag, scores, arrival,
+                               self._bin_count)
+        thr = max(15, _score_threshold(hits, self.max_seqs))
+        out = []
+        order = np.argsort(-hits[:, 2].astype(np.int64), kind="stable")
+        for i in order:
+            if len(out) >= self.max_seqs:
+                break
+            if hits[i, 2] >= thr:
+                out.append(int(hits[i, 0]))
+        if self.cov_thr > 0.0 and self.cov_mode in (0, 2, 5):
+            ql = np.float32(len(qseq))
+            kept = []
+            for ri in out:
+                tl = np.float32(self.cdb.pssms[self.rep_keys[ri]].shape[0])
+                if self.cov_mode == 0:
+                    ok = ql / tl >= np.float32(self.cov_thr) \
+                         and tl / ql >= np.float32(self.cov_thr)
+                elif self.cov_mode == 2:
+                    ok = tl / ql >= np.float32(self.cov_thr)
+                else:
+                    ok = (min(tl, ql) / max(tl, ql)
+                          >= np.float32(self.cov_thr))
+                if ok:
+                    kept.append(ri)
+            out = kept
+        return [self.rep_keys[ri] for ri in out]
+
+    def _rescore(self, qseq, cand_seq, cand_diag):
+        """Ungapped Kadane rescore of the gene's blosum62+bias profile
+        against the candidates' consensus diagonals (clamped 255)."""
+        from ..stats.submat import (load_pinned_matrix,
+                                    local_aa_bias_correction)
+        ung = load_pinned_matrix("blosum62_bf2_bias")
+        L = len(qseq)
+        if self.comp_bias:
+            seed = load_pinned_matrix("vtml80_bf8_bias")
+            bias_f32 = local_aa_bias_correction(qseq, seed.sub_int,
+                                                seed.p_back, 1.0)
+        else:
+            bias_f32 = np.zeros(L, dtype=np.float32)
+        corr = bias_f32.astype(np.float64) / 4.0
+        corr = np.where(corr < 0.0, corr - 0.5, corr + 0.5).astype(np.int8)
+        profile = (ung.sub_int[qseq].astype(np.int32)
+                   + corr[:, None].astype(np.int32))
+        C = len(cand_seq)
+        scores = np.zeros(C, dtype=np.int32)
+        if C == 0:
+            return scores
+        d16 = cand_diag.astype(np.int64) & 0xFFFF
+        min_dist = np.minimum((0 - d16) & 0xFFFF, d16)
+        tl = self.t_lens[cand_seq]
+        pos_diag = d16 < 0x8000
+        seg = np.where(pos_diag,
+                       np.where(min_dist < L, np.minimum(tl, L - min_dist), 0),
+                       np.where(min_dist < tl, np.minimum(tl - min_dist, L),
+                                0))
+        q_off = np.where(pos_diag, min_dist, 0)
+        t_off = np.where(pos_diag, 0, min_dist)
+        Lmax = int(seg.max()) if len(seg) else 0
+        if Lmax == 0:
+            return scores
+        ar = np.arange(Lmax, dtype=np.int64)
+        mask = ar[None, :] < seg[:, None]
+        qpos = np.minimum(q_off[:, None] + ar[None, :], L - 1)
+        tpos = self.t_offsets[cand_seq][:, None] + np.minimum(
+            t_off[:, None] + ar[None, :], np.maximum(tl[:, None] - 1, 0))
+        t_res = self.t_data[tpos]
+        vals = profile[qpos, t_res.astype(np.int64)] * mask
+        c = np.cumsum(vals, axis=1)
+        run_min = np.minimum.accumulate(
+            np.concatenate([np.zeros((C, 1), c.dtype), c[:, :-1]], axis=1),
+            axis=1)
+        best = (c - np.minimum(run_min, 0)).max(axis=1)
+        best = np.where(seg > 0, np.maximum(best, 0), 0)
+        return np.minimum(best, 255).astype(np.int32)
 
 
 def search_profile_target(query_db: SetDB, target_db: SetDB,
@@ -81,40 +314,48 @@ def search_profile_target(query_db: SetDB, target_db: SetDB,
     by Matcher::compareHits and capped at max_res_list_len."""
     par = params or ProfileSearchParams()
     n_genes = query_db.size
-    n_profiles = len(cdb.rep_keys)
 
-    # inverted search: profiles are the queries
-    pref = PrefilterEngine(target_db, query_db,
-                           sensitivity=par.sensitivity,
-                           max_seqs=max(300, n_genes),
-                           same_qt_db=False,
-                           comp_bias_correction=par.comp_bias_correction,
-                           mask=par.mask,
-                           cov_thr=par.cov_thr,
-                           cov_mode=swap_coverage_mode(par.cov_mode),
-                           query_profiles=cdb.pssms)
-    cands = {rep: [h.seq_id for h in pref.match_query(rep)]
-             for rep in cdb.rep_keys}
+    # stage 1 (searchtargetprofile.sh): genes vs the profile-built index
+    tpf = TargetProfilePrefilter(query_db, cdb,
+                                 sensitivity=par.sensitivity,
+                                 max_seqs=300, cov_thr=par.cov_thr,
+                                 cov_mode=par.cov_mode,
+                                 comp_bias_correction=par.comp_bias_correction)
+    cands: dict[int, list[int]] = {rep: [] for rep in cdb.rep_keys}
+    for qk in range(n_genes):
+        for rep in tpf.match_query(qk):
+            cands[rep].append(qk)
 
-    inv_eval = par.eval_thr * (float(n_genes) / float(n_profiles))
+    # stage 2: swapped align — profiles as queries against the genes
+    # (same -e as the outer search; coverage mode swapped)
     aln_par = AlignmentParams(gap_open=par.gap_open,
                               gap_extend=par.gap_extend,
-                              eval_thr=inv_eval, cov_thr=par.cov_thr,
+                              eval_thr=par.eval_thr, cov_thr=par.cov_thr,
                               cov_mode=swap_coverage_mode(par.cov_mode),
                               aln_len_thr=par.aln_len_thr,
                               comp_bias_correction=par.comp_bias_correction)
     eng = AlignmentEngine(target_db, query_db, aln_par, same_qt_db=False,
-                          query_profiles=cdb.aln_profiles)
+                          query_profiles=cdb.aln_profiles,
+                          query_profile_seqs=getattr(cdb, "query_seqs",
+                                                     None))
     inv_records = eng.align_all(cands)
 
-    # swapresults: profile-DB residue count = sum of profile lengths
-    profile_res = int(sum(cdb.pssms[r].shape[0] for r in cdb.rep_keys))
+    # swapresults: profile-DB residue count per DBReader::
+    # getAminoAcidDBSize for DBTYPE_HMM_PROFILE = dataSize/25 - size
+    # (DBReader.cpp:589-597); dataSize counts each entry's NUL, so the
+    # exact value is total_len + n//25 - n, not the plain length sum
+    n_p = len(cdb.rep_keys)
+    profile_res = (par.profile_res_override
+                   or int(sum(cdb.pssms[r].shape[0] for r in cdb.rep_keys))
+                   + n_p // 25 - n_p)
     evaluer = EvalueComputation(profile_res, BLOSUM62_GAPPED_11_1)
     swapped: dict[int, list[AlnRecord]] = {qk: [] for qk in range(n_genes)}
     for rep, recs in inv_records.items():
         for r in recs:
             swapped[r.tkey].append(swap_record(r, rep, evaluer))
     for qk in swapped:
+        # swapresults re-applies -e after the E-value recomputation
+        swapped[qk] = [r for r in swapped[qk] if r.evalue <= par.eval_thr]
         swapped[qk].sort(key=lambda r: (r.evalue, -r.score, r.tlen, r.tkey))
         del swapped[qk][par.max_res_list_len:]
     return swapped

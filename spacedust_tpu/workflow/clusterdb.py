@@ -40,6 +40,9 @@ class ClusterDB:
     aln_profiles: dict[int, np.ndarray]         # rep key -> (L, 21) int8
     consensus: dict[int, np.ndarray]            # rep key -> (L,) uint8
     clu_aln: dict[int, list[AlnRecord]]         # rep key -> member records
+    # profile-stored query residues (Sequence.cpp:254; may be tantan-
+    # masked at build time) — identity counting uses these, not the gene
+    query_seqs: dict[int, np.ndarray] = None
 
     def save(self, path: str | Path) -> None:
         path = Path(path)
@@ -56,6 +59,8 @@ class ClusterDB:
             arrays[f"pssm_{k}"] = self.pssms[k]
             arrays[f"alnp_{k}"] = self.aln_profiles[k]
             arrays[f"cons_{k}"] = self.consensus[k]
+            if self.query_seqs:
+                arrays[f"qseq_{k}"] = self.query_seqs[k]
         np.savez_compressed(path / "profiles.npz", **arrays)
 
     @classmethod
@@ -78,7 +83,10 @@ class ClusterDB:
             pssms={k: arrays[f"pssm_{k}"] for k in rep_keys},
             aln_profiles={k: arrays[f"alnp_{k}"] for k in rep_keys},
             consensus={k: arrays[f"cons_{k}"] for k in rep_keys},
-            clu_aln=clu_aln)
+            clu_aln=clu_aln,
+            query_seqs=({k: arrays[f"qseq_{k}"] for k in rep_keys}
+                        if rep_keys and f"qseq_{rep_keys[0]}" in arrays
+                        else None))
 
     @classmethod
     def exists(cls, path: str | Path) -> bool:
@@ -121,6 +129,7 @@ def cluster_db(db: SetDB, params: ClusterDBParams | None = None,
     pssms: dict[int, np.ndarray] = {}
     aln_profiles: dict[int, np.ndarray] = {}
     consensus: dict[int, np.ndarray] = {}
+    query_seqs: dict[int, np.ndarray] = {}
     for rep in rep_keys:
         q = db.sequence(rep)
         # preserve member order of the alignment records
@@ -137,6 +146,7 @@ def cluster_db(db: SetDB, params: ClusterDBParams | None = None,
         ap[:, :20] = np.trunc(pssm.astype(np.float64) / 4).astype(np.int8)
         aln_profiles[rep] = ap
         consensus[rep] = prof.consensus
+        query_seqs[rep] = prof.query
 
     # _clu_aln: rep -> member alignments with backtrace (align -a)
     aln_par = AlignmentParams(eval_thr=par.aln_eval_thr, cov_thr=0.0,
@@ -146,7 +156,54 @@ def cluster_db(db: SetDB, params: ClusterDBParams | None = None,
 
     return ClusterDB(rep_keys=rep_keys, clusters=clusters, pssms=pssms,
                      aln_profiles=aln_profiles, consensus=consensus,
-                     clu_aln=clu_aln)
+                     clu_aln=clu_aln, query_seqs=query_seqs)
+
+
+def clusterdb_from_reference(base: str | Path,
+                             rep_subset: "set[int] | None" = None
+                             ) -> ClusterDB:
+    """Build a ClusterDB view from reference-toolchain clusterdb output
+    (<base>_clu, <base>_clu_rep_profile, <base>_clu_aln; spacedust's
+    data/clusterdb.sh).  Profile entries decode per Sequence::mapProfile
+    (lib/mmseqs/src/commons/Sequence.cpp:241-274): 25 bytes/position,
+    raw char scores cast to short, and the alignment profile =
+    profile_score / 4 with C truncation (Sequence.cpp:274)."""
+    from ..db.mmseqs_io import FlatDB
+    from ..search.records import AlnRecord, expand_cigar
+    base = str(base)
+    clu = FlatDB.open(base + "_clu")
+    clusters = {int(k): [int(x) for x in clu.lines(k)]
+                for k in clu.keys()
+                if rep_subset is None or int(k) in rep_subset}
+    prof_db = FlatDB.open(base + "_clu_rep_profile")
+    pssms: dict[int, np.ndarray] = {}
+    aln_profiles: dict[int, np.ndarray] = {}
+    consensus: dict[int, np.ndarray] = {}
+    query_seqs: dict[int, np.ndarray] = {}
+    for k in prof_db.keys():
+        if rep_subset is not None and int(k) not in rep_subset:
+            continue
+        raw = np.frombuffer(prof_db.get_bytes(k), dtype=np.uint8)
+        arr = raw[:(len(raw) // 25) * 25].reshape(-1, 25)
+        pssm = arr[:, :20].copy().view(np.int8).astype(np.int16)
+        pssms[int(k)] = pssm
+        ap = np.zeros((len(arr), 21), dtype=np.int8)
+        ap[:, :20] = np.trunc(pssm.astype(np.float64) / 4).astype(np.int8)
+        aln_profiles[int(k)] = ap
+        consensus[int(k)] = arr[:, 21].copy()
+    aln_db = FlatDB.open(base + "_clu_aln")
+    clu_aln = {}
+    for k in aln_db.keys():
+        if rep_subset is not None and int(k) not in rep_subset:
+            continue
+        recs = [AlnRecord.parse(ln) for ln in aln_db.lines(k)]
+        for r in recs:
+            r.backtrace = expand_cigar(r.backtrace)
+        clu_aln[int(k)] = recs
+    return ClusterDB(rep_keys=sorted(clusters), clusters=clusters,
+                     pssms=pssms, aln_profiles=aln_profiles,
+                     consensus=consensus, clu_aln=clu_aln,
+                     query_seqs=query_seqs)
 
 
 def cluster_db_cached(db: SetDB, cache_dir: str | Path,

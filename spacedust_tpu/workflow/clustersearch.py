@@ -123,7 +123,7 @@ class ClusterSearchParams:
     # cluster members (expandaln); e 1e-3, 100 results.
     profile_cluster_search: bool = False
     profile_eval_thr: float = 1e-3
-    profile_max_res: int = 100
+    profile_max_res: int = 300
     # --search-mode (LocalParameters.h:32-41): 0 = sequence, 1 = foldseek
     # on aa2foldseek-mapped subset + sequence search of the unmapped rest,
     # 2 = structure (3Di) search of the whole DB (ProstT5/foldseek-testdb
@@ -169,8 +169,10 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         if target_cluster_db is None:
             target_cluster_db = build_cluster_db(target_db)
         t0 = time.time()
+        # the search stage runs at the outer -e (oracle: searchtarget-
+        # profile.sh with -e 10); profile_eval_thr applies at expandaln
         ppar = ProfileSearchParams(
-            sensitivity=par.sensitivity, eval_thr=par.profile_eval_thr,
+            sensitivity=par.sensitivity, eval_thr=par.eval_thr,
             max_res_list_len=par.profile_max_res, cov_thr=par.cov_thr,
             cov_mode=par.cov_mode, aln_len_thr=par.aln_len_thr,
             gap_open=par.gap_open, gap_extend=par.gap_extend,

@@ -29,8 +29,12 @@ _TMP_ORACLE = os.path.join(_REPO, ".tmp", "oracle")
 
 def oracle_root() -> str:
     # a freshly generated reference run overrides the trimmed committed
-    # fixtures (matching the comment above; ADVICE r2)
-    if os.path.exists(os.path.join(_TMP_ORACLE, "profiles.index")):
+    # fixtures (ADVICE r2) — but only when it is COMPLETE, so a partial
+    # scratch run cannot shadow fixture resources it lacks
+    need = ("profiles.index", os.path.join("nucl", "nuclres.index"),
+            os.path.join("orfs", "uvig_orfs.index"),
+            os.path.join("uvig", "genome.index"))
+    if all(os.path.exists(os.path.join(_TMP_ORACLE, n)) for n in need):
         return _TMP_ORACLE
     return _FIXTURE_ORACLE
 
