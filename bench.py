@@ -143,6 +143,45 @@ def kernel_gcups():
     return sorted(trials)[len(trials) // 2]
 
 
+def sharding_metrics(n_shards: int = 8):
+    """Measured scaling accounting for the target-sharded search (the
+    reference's MPI target-split analog): per-shard concurrent prefilter
+    wall times + serial merge tail on the full regression DB, against
+    the measured single-engine wall.  Projected n-device efficiency =
+    T_1 / (n * (max shard + merge)) — the hardware here has one chip, so
+    this measures OUR pipeline's split overhead and serial fraction
+    (BASELINE north star >=80%), not ICI behavior."""
+    import time
+    import numpy as np
+    from spacedust_tpu.db.fasta import create_setdb_from_fastas
+    from spacedust_tpu.search.prefilter import PrefilterEngine
+    from spacedust_tpu.parallel.pipeline import sharded_prefilter
+    from spacedust_tpu.parallel.split import residue_balanced_splits
+
+    db = create_setdb_from_fastas([
+        "/root/reference/examples/NC_000913.faa",
+        "/root/reference/examples/NC_000915.faa"])
+    t0 = time.perf_counter()
+    eng = PrefilterEngine(db, db, same_qt_db=True, cov_thr=0.8, cov_mode=2)
+    eng.match_all()
+    t1 = time.perf_counter() - t0
+    shards = residue_balanced_splits(db.lengths, n_shards)
+    t0 = time.perf_counter()
+    sharded_prefilter(db, db, shards, cov_thr=0.8, cov_mode=2,
+                      same_qt_db=True)
+    t_all = time.perf_counter() - t0
+    st = sharded_prefilter.last_stats
+    t_proj = max(st["shard_s"]) + st["merge_s"]
+    return {
+        "prefilter_1dev_s": round(t1, 2),
+        "prefilter_shard_max_s": round(max(st["shard_s"]), 2),
+        "prefilter_merge_s": st["merge_s"],
+        "prefilter_sharded_wall_s": round(t_all, 2),
+        "scaling_efficiency_8dev_projected": round(
+            t1 / (n_shards * t_proj), 3),
+    }
+
+
 def main() -> None:
     plat = os.environ.get("SPACEDUST_JAX_PLATFORM")
     if plat:
@@ -160,6 +199,10 @@ def main() -> None:
         pass
 
     extra = {}
+    try:
+        extra["sharding"] = sharding_metrics()
+    except Exception:
+        pass
     if gcups is not None:
         extra["sw_gcups"] = round(gcups, 1)
         extra["sw_mxu_util"] = round(gcups * 1e9 * OPS_PER_CELL

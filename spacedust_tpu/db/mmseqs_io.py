@@ -16,10 +16,12 @@ from pathlib import Path
 
 
 class FlatDB:
-    def __init__(self, data: bytes, index: list[tuple[int, int, int]]):
+    def __init__(self, data: bytes, index: list[tuple[int, int, int]],
+                 compressed: bool = False):
         self._data = data
         self.index = index
         self._by_key = {k: (o, l) for k, o, l in index}
+        self.compressed = compressed
 
     @classmethod
     def open(cls, base: str | Path) -> "FlatDB":
@@ -40,7 +42,36 @@ class FlatDB:
             for line in fh:
                 k, o, l = line.split("\t")
                 index.append((int(k), int(o), int(l)))
-        return cls(data, index)
+        # per-entry zstd compression flag: dbtype bit 31
+        # (DBReader::isCompressed, DBReader.cpp:1044-1046)
+        compressed = False
+        dbt = Path(f"{base}.dbtype")
+        if dbt.exists():
+            raw = dbt.read_bytes()
+            if len(raw) >= 4:
+                import struct
+                compressed = bool(struct.unpack("<I", raw[:4])[0] & (1 << 31))
+        return cls(data, index, compressed=compressed)
+
+    def _decompress(self, offset: int) -> bytes:
+        """One compressed entry at file offset: [u32 stored size][zstd
+        frame OR raw payload][flag byte: NUL = compressed, 0xFF = raw]
+        (DBWriter::writeEnd, DBWriter.cpp:331-399; the INDEX length
+        records the ORIGINAL size, so spans derive from the stored u32,
+        DBReader::getDataCompressed, DBReader.cpp:560-585)."""
+        import struct
+        c_size = struct.unpack("<I", self._data[offset:offset + 4])[0]
+        payload = self._data[offset + 4:offset + 4 + c_size]
+        flag = self._data[offset + 4 + c_size]
+        if flag == 0:
+            import zstandard
+            out = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=1 << 31)
+        else:
+            out = payload
+        if not out.endswith(b"\n"):
+            out += b"\n"
+        return out + b"\x00"
 
     @property
     def size(self) -> int:
@@ -49,20 +80,24 @@ class FlatDB:
     def keys(self) -> list[int]:
         return [k for k, _, _ in self.index]
 
+    def _entry(self, o: int, l: int) -> bytes:
+        if self.compressed:
+            return self._decompress(o)
+        return self._data[o:o + l]
+
     def get(self, key: int) -> str:
         o, l = self._by_key[key]
-        return self._data[o:o + l].rstrip(b"\x00").decode()
+        return self._entry(o, l).rstrip(b"\x00").decode()
 
     def get_bytes(self, key: int) -> bytes:
         """Raw entry bytes (for binary payloads like profiles), without
         the trailing NUL terminator."""
-        o, l = self._by_key[key]
-        data = self._data[o:o + l]
+        data = self._entry(*self._by_key[key])
         return data[:-1] if data.endswith(b"\x00") else data
 
     def entries(self):
         for k, o, l in self.index:
-            yield k, self._data[o:o + l].rstrip(b"\x00").decode()
+            yield k, self._entry(o, l).rstrip(b"\x00").decode()
 
     def lines(self, key: int) -> list[str]:
         return [ln for ln in self.get(key).split("\n") if ln]

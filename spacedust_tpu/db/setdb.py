@@ -105,6 +105,26 @@ class SetDB:
         sub.finalize_metadata()
         return sub
 
+    def subrange(self, s: int, e: int) -> "SetDB":
+        """Zero-copy SetDB over the contiguous gene range [s, e): token
+        arrays are VIEWS of this DB's (possibly mmapped) arrays, so an
+        out-of-core target split holds no resident copy of the shard —
+        the DBReader MMAP-mode analog (DBReader.cpp mmap path,
+        Prefiltering.cpp:662-723)."""
+        off0 = int(self.offsets[s])
+        sub = SetDB(
+            dbtype=self.dbtype,
+            seq_data=self.seq_data[off0:int(self.offsets[e])],
+            offsets=(self.offsets[s:e + 1] - off0),
+            names=self.names[s:e],
+            set_ids=self.set_ids[s:e],
+            headers=self.headers[s:e],
+            sources=list(self.sources))
+        if self.has_ss:
+            sub.ss_data = self.ss_data[off0:int(self.offsets[e])]
+        sub.finalize_metadata()
+        return sub
+
     def ss_view(self) -> "SetDB":
         """A SetDB view whose primary residues are the 3Di states (shares
         all metadata) — feeds the structure-mode prefilter/index."""
@@ -152,12 +172,17 @@ class SetDB:
         (path / "meta.json").write_text(json.dumps(meta))
 
     @classmethod
-    def load(cls, path: str | Path) -> "SetDB":
+    def load(cls, path: str | Path, mmap: bool = True) -> "SetDB":
+        """Open an artifact dir; by default the token arrays are mmapped
+        (page-cache backed, DBReader MMAP-mode analog) so a DB larger
+        than RAM streams from disk and `--split-memory-limit` bounds the
+        actual resident set."""
         path = Path(path)
         meta = json.loads((path / "meta.json").read_text())
+        mode = "r" if mmap else None
         db = cls(
             dbtype=meta["dbtype"],
-            seq_data=np.load(path / "seq_data.npy"),
+            seq_data=np.load(path / "seq_data.npy", mmap_mode=mode),
             offsets=np.load(path / "offsets.npy"),
             names=meta["names"],
             set_ids=np.load(path / "set_ids.npy"),
@@ -165,7 +190,7 @@ class SetDB:
             sources=meta["sources"],
         )
         if (path / "ss_data.npy").exists():
-            db.ss_data = np.load(path / "ss_data.npy")
+            db.ss_data = np.load(path / "ss_data.npy", mmap_mode=mode)
         db.finalize_metadata()
         db.path = str(path)      # artifact home (also hosts index caches)
         return db

