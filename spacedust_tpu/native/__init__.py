@@ -100,7 +100,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,       # nsym, do_bias
             ctypes.POINTER(ctypes.c_int16),   # sc3
             ctypes.POINTER(ctypes.c_int16),   # id3
-            ctypes.POINTER(ctypes.c_int32),   # offsets
+            ctypes.POINTER(ctypes.c_int32),   # hash keys
+            ctypes.POINTER(ctypes.c_int32),   # hash range starts
+            ctypes.POINTER(ctypes.c_int32),   # hash range counts
+            ctypes.c_int64,                   # hash capacity
             ctypes.POINTER(ctypes.c_uint64),  # occupied bitmap
             ctypes.POINTER(ctypes.c_int32),   # post_seq
             ctypes.POINTER(ctypes.c_int32),   # post_pos
@@ -136,22 +139,19 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_uint8,                   # mask_to
             ctypes.POINTER(ctypes.c_float),   # probs_out (nullable)
         ]
-        lib.offsets_bitmap.restype = ctypes.c_int
-        lib.offsets_bitmap.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint64)]
         lib.build_kmer_index.restype = ctypes.c_int
         lib.build_kmer_index.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32)]
-        lib.fill_offset_table.restype = ctypes.c_int
-        lib.fill_offset_table.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.build_kmer_hash.restype = ctypes.c_int
+        lib.build_kmer_hash.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
         lib.banded_align_batch.restype = ctypes.c_int
         lib.banded_align_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -269,28 +269,12 @@ def comp_bias_batch(qdata, qoffs, qlens, sub_int, p_back):
     return out
 
 
-def fill_offset_table(uk: np.ndarray, cnt: np.ndarray,
-                      table_size: int) -> np.ndarray:
-    """Dense posting-offset table (int32, table_size entries) from sorted
-    unique k-mers + counts; the prefix sum runs in C (numpy's cumsum is
-    the bottleneck on low-bandwidth hosts)."""
-    lib = get_lib()
-    uk = np.ascontiguousarray(uk, dtype=np.int64)
-    cnt = np.ascontiguousarray(cnt, dtype=np.int32)
-    table = np.empty(table_size, dtype=np.int32)
-    lib.fill_offset_table(
-        _ptr(uk, ctypes.c_int64), _ptr(cnt, ctypes.c_int32),
-        ctypes.c_int64(len(uk)),
-        _ptr(table, ctypes.c_int32), ctypes.c_int64(table_size))
-    return table
-
-
 def build_kmer_index(tdata: np.ndarray, toffs: np.ndarray,
                      tlens: np.ndarray, diag_scores: np.ndarray,
                      x_index: int, kmer_thr: int):
-    """Two-pass parallel k-mer index build (IndexBuilder::fillDatabase
-    analog). Returns (kmers, seq_ids, positions, offsets) in the exact
-    (kmer, seq, pos) posting order of the host lexsort build."""
+    """Parallel k-mer index build (IndexBuilder::fillDatabase analog).
+    Returns (kmers, seq_ids, positions) in the exact (kmer, seq, pos)
+    posting order of the host lexsort build."""
     lib = get_lib()
     tdata = np.ascontiguousarray(tdata, dtype=np.uint8)
     toffs = np.ascontiguousarray(toffs, dtype=np.int64)
@@ -300,34 +284,47 @@ def build_kmer_index(tdata: np.ndarray, toffs: np.ndarray,
     out_kmer = np.empty(max(cap, 1), dtype=np.int32)
     out_seq = np.empty(max(cap, 1), dtype=np.int32)
     out_pos = np.empty(max(cap, 1), dtype=np.int32)
-    offsets = np.empty(20 ** 6 + 1, dtype=np.int32)
     n_out = ctypes.c_int64(0)
     rc = lib.build_kmer_index(
         _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
         _ptr(tlens, ctypes.c_int32), len(tlens),
         _ptr(diag_scores, ctypes.c_int32), int(x_index), int(kmer_thr),
         _ptr(out_kmer, ctypes.c_int32), _ptr(out_seq, ctypes.c_int32),
-        _ptr(out_pos, ctypes.c_int32), ctypes.byref(n_out),
-        _ptr(offsets, ctypes.c_int32))
+        _ptr(out_pos, ctypes.c_int32), ctypes.byref(n_out))
     if rc != 0:
         raise RuntimeError(f"build_kmer_index failed: {rc}")
     n = int(n_out.value)
-    return out_kmer[:n], out_seq[:n], out_pos[:n], offsets
+    return out_kmer[:n], out_seq[:n], out_pos[:n]
 
 
-def offsets_bitmap(offsets: np.ndarray) -> np.ndarray:
-    """64M-bit k-mer occupancy bitmap from the dense offset table."""
+def build_kmer_hash(post_kmer: np.ndarray, n_bits: int = 20 ** 6):
+    """Compact posting-range hash + occupancy bitmap from the sorted
+    posting k-mer column.  ~50 MB vs a 256 MB dense offset table — the
+    target host's first-touch page faults make dense tables the index
+    build's dominant cost."""
     lib = get_lib()
-    offsets = np.ascontiguousarray(offsets, dtype=np.int32)
-    n = len(offsets) - 1
-    out = np.empty((n + 63) // 64, dtype=np.uint64)
-    lib.offsets_bitmap(_ptr(offsets, ctypes.c_int32), ctypes.c_int64(n),
-                       _ptr(out, ctypes.c_uint64))
-    return out
+    post_kmer = np.ascontiguousarray(post_kmer, dtype=np.int32)
+    n_unique = int(len(np.unique(post_kmer))) if len(post_kmer) else 0
+    cap = 1
+    while cap < max(2 * n_unique, 2):
+        cap *= 2
+    hkeys = np.empty(cap, dtype=np.int32)
+    hoff = np.empty(cap, dtype=np.int32)
+    hcnt = np.empty(cap, dtype=np.int32)
+    bitmap = np.empty((n_bits + 63) // 64, dtype=np.uint64)
+    rc = lib.build_kmer_hash(
+        _ptr(post_kmer, ctypes.c_int32), ctypes.c_int64(len(post_kmer)),
+        _ptr(hkeys, ctypes.c_int32), _ptr(hoff, ctypes.c_int32),
+        _ptr(hcnt, ctypes.c_int32), ctypes.c_int64(cap),
+        _ptr(bitmap, ctypes.c_uint64), ctypes.c_int64(n_bits))
+    if rc != 0:
+        raise RuntimeError(f"build_kmer_hash failed: {rc}")
+    return hkeys, hoff, hcnt, bitmap
 
 
 def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
-                          sc3, id3, offsets, occupied, post_seq, post_pos,
+                          sc3, id3, hkeys, hoff, hcnt, occupied,
+                          post_seq, post_pos,
                           tdata, toffs, tlens, ungapped_sub, x_index,
                           kmer_thr, max_seqs, min_diag_score, bin_count,
                           identity_base, cov_thr, cov_mode):
@@ -354,7 +351,9 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         _ptr(seed_sub, ctypes.c_int32), _ptr(p_back, ctypes.c_double),
         seed_sub.shape[0], int(do_bias),
         _ptr(sc3, ctypes.c_int16), _ptr(id3, ctypes.c_int16),
-        _ptr(offsets, ctypes.c_int32), _ptr(occupied, ctypes.c_uint64),
+        _ptr(hkeys, ctypes.c_int32), _ptr(hoff, ctypes.c_int32),
+        _ptr(hcnt, ctypes.c_int32), ctypes.c_int64(len(hkeys)),
+        _ptr(occupied, ctypes.c_uint64),
         _ptr(post_seq, ctypes.c_int32), _ptr(post_pos, ctypes.c_int32),
         _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
         _ptr(tlens, ctypes.c_int32), nt,

@@ -135,8 +135,13 @@ int prefilter_match_batch(
     const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
     // seed tables
     const int16_t* sc3, const int16_t* id3,
-    // posting index (+ 64M-bit occupancy bitmap, one bit per k-mer)
-    const int32_t* offsets, const uint64_t* occupied,
+    // posting index: open-addressing hash over the ~2% occupied k-mers
+    // (keys/off/cnt arrays, pow2 capacity) + 64M-bit occupancy bitmap.
+    // A dense 20^6 offset table costs 256 MB of fresh page-faults per
+    // process — measured at seconds/GB on the target host — while the
+    // hash is ~50 MB and more cache-resident for the random probes.
+    const int32_t* hkeys, const int32_t* hoff, const int32_t* hcnt,
+    int64_t hcap, const uint64_t* occupied,
     const int32_t* post_seq, const int32_t* post_pos,
     // masked target residues (for the ungapped rescore)
     const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
@@ -222,11 +227,11 @@ int prefilter_match_batch(
           }
         }
 
-        // posting lookups: an 8 MB occupancy bitmap screens the ~97%
-        // empty k-mer buckets from cache (the dense offset table is
-        // 256 MB; random DRAM reads there dominate the lookup phase),
-        // with software prefetch on both levels
+        // posting lookups: the 8 MB occupancy bitmap screens the ~97%
+        // empty k-mers, survivors probe the compact hash (1-2 probes
+        // expected at 50% load), with software prefetch on the bitmap
         const size_t ng = gen_kmers.size();
+        const uint64_t hmask = static_cast<uint64_t>(hcap) - 1;
         constexpr size_t kAhead = 16;
         for (size_t t = 0; t < ng; ++t) {
           if (t + kAhead < ng)
@@ -236,8 +241,14 @@ int prefilter_match_batch(
           if (!(occupied[static_cast<uint32_t>(km) >> 6]
                 & (1ull << (km & 63))))
             continue;
-          const int32_t lo = offsets[km];
-          const int32_t hi = offsets[km + 1];
+          uint64_t slot = (static_cast<uint32_t>(km) * 2654435761u) & hmask;
+          while (hkeys[slot] != km) {
+            if (hkeys[slot] < 0) { slot = hcap; break; }  // stale bitmap
+            slot = (slot + 1) & hmask;
+          }
+          if (slot == static_cast<uint64_t>(hcap)) continue;
+          const int32_t lo = hoff[slot];
+          const int32_t hi = lo + hcnt[slot];
           for (int32_t p = lo; p < hi; ++p) {
             matches.push_back(
                 {post_seq[p],
@@ -422,24 +433,22 @@ int prefilter_match_batch(
   return 0;
 }
 
-// Two-pass parallel k-mer index build (IndexBuilder::fillDatabase analog,
-// lib/mmseqs/src/prefiltering/IndexBuilder.cpp two-pass count+fill, redone
-// for the columnar SetDB layout):
+// Parallel k-mer index build (IndexBuilder::fillDatabase analog,
+// lib/mmseqs/src/prefiltering/IndexBuilder.cpp, redone for the columnar
+// SetDB layout):
 //   pass A: per sequence, enumerate valid spaced 6-mers in position order,
 //           dedup per sequence (first occurrence wins = min position,
-//           IndexTable.h:332-345) and histogram per thread;
-//   pass B: fuse the per-thread histograms into the dense offset table
-//           (exclusive prefix) and per-thread write cursors;
-//   pass C: replay each thread's deduped windows into the posting arrays.
-// Threads own contiguous residue-balanced sequence ranges, so the final
-// posting order is exactly (kmer, seq, pos) — bit-identical to the
-// lexsort-based host build it replaces.
+//           IndexTable.h:332-345);
+//   pass B: sort the deduped (kmer, seq, pos) stream — the posting order
+//           is exactly the lexsort-based host build's.
+// Deliberately NO dense 20^6 count table: two 256 MB scratch tables per
+// build cost seconds of first-touch page faults on the target host; the
+// ~2M-element sort is cheaper and the match loop probes a compact hash
+// (build_kmer_hash) instead.
 int build_kmer_index(
     const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
     const int32_t* diag_scores, int x_index, int kmer_thr,
-    int32_t* out_kmer, int32_t* out_seq, int32_t* out_pos, int64_t* n_out,
-    int32_t* offsets /* 20^6 + 1 entries */) {
-  constexpr int64_t kTable = 64000000;  // 20^6
+    int32_t* out_kmer, int32_t* out_seq, int32_t* out_pos, int64_t* n_out) {
   int nthreads = 1;
 #if defined(_OPENMP)
   nthreads = omp_get_max_threads();
@@ -460,11 +469,6 @@ int build_kmer_index(
     part[nthreads] = nt;
   }
 
-  // counts accumulate into offsets[k + 1] (caller-allocated, one shared
-  // 256 MB table with atomic adds — contention is negligible over the
-  // 64M-bin space and this halves the committed memory vs per-thread
-  // histograms)
-  std::memset(offsets, 0, (kTable + 1) * sizeof(int32_t));
   // per-thread deduped windows: (kmer, pos) pairs + per-seq counts
   std::vector<std::vector<int32_t>> wkmer(nthreads), wpos(nthreads);
   std::vector<std::vector<int32_t>> wcnt(nthreads);
@@ -524,81 +528,70 @@ int build_kmer_index(
         used.push_back(slot);
         wk.push_back(packed);
         wp.push_back(w);
-#pragma omp atomic
-        ++offsets[packed + 1];
       }
       wcnt[tid].push_back(static_cast<int32_t>(wk.size() - before));
     }
   }
 
-  // in-place inclusive prefix over offsets -> range starts
+  // flatten to (kmer, seq, pos) triples packed into u128-equivalent sort
+  // keys: kmer (27b) | seq (32b) | pos (16b) fits one u64 when pos<2^16
+  // and seq<2^21... sequences can exceed 2^21, so sort 96-bit structs.
+  struct Post { int32_t km, seq, pos; };
+  int64_t total = 0;
+  for (int t = 0; t < nthreads; ++t)
+    total += static_cast<int64_t>(wkmer[t].size());
+  std::vector<Post> posts(total);
   {
-    int64_t acc = 0;
-    for (int64_t k = 0; k <= kTable; ++k) {
-      acc += offsets[k];
-      offsets[k] = static_cast<int32_t>(acc);
-    }
-    *n_out = acc;
-  }
-
-  // serial replay in (thread, seq, pos) == global (seq, pos) order: with
-  // the cursor started at each kmer's range start this lands every
-  // posting in exact (kmer, seq, pos) order.  ~2 writes per posting —
-  // cheap enough that parallelism isn't worth a second 256 MB table.
-  std::vector<int32_t> cur(offsets, offsets + kTable);
-  for (int tid = 0; tid < nthreads; ++tid) {
-    const std::vector<int32_t>& wk = wkmer[tid];
-    const std::vector<int32_t>& wp = wpos[tid];
-    size_t i = 0;
-    for (int si = part[tid]; si < part[tid + 1]; ++si) {
-      const int32_t n = wcnt[tid][si - part[tid]];
-      for (int32_t j = 0; j < n; ++j, ++i) {
-        const int32_t km = wk[i];
-        const int32_t at = cur[km]++;
-        out_kmer[at] = km;
-        out_seq[at] = si;
-        out_pos[at] = wp[i];
+    int64_t at = 0;
+    for (int tid = 0; tid < nthreads; ++tid) {
+      const std::vector<int32_t>& wk = wkmer[tid];
+      const std::vector<int32_t>& wp = wpos[tid];
+      size_t i = 0;
+      for (int si = part[tid]; si < part[tid + 1]; ++si) {
+        const int32_t n = wcnt[tid][si - part[tid]];
+        for (int32_t j = 0; j < n; ++j, ++i)
+          posts[at++] = {wk[i], si, wp[i]};
       }
     }
   }
+  std::sort(posts.begin(), posts.end(), [](const Post& a, const Post& b) {
+    if (a.km != b.km) return a.km < b.km;
+    if (a.seq != b.seq) return a.seq < b.seq;
+    return a.pos < b.pos;
+  });
+  for (int64_t i = 0; i < total; ++i) {
+    out_kmer[i] = posts[i].km;
+    out_seq[i] = posts[i].seq;
+    out_pos[i] = posts[i].pos;
+  }
+  *n_out = total;
   return 0;
 }
 
-// Occupancy bitmap over the dense offset table: bit k set iff k-mer k
-// has postings.  8 MB vs the 256 MB table — the match loop screens the
-// ~97% empty buckets through it so lookups stay cache-resident.
-int offsets_bitmap(const int32_t* offsets, int64_t table_size,
-                   uint64_t* bitmap /* (table_size+63)/64 words */) {
-  const int64_t words = (table_size + 63) >> 6;
-  std::memset(bitmap, 0, words * sizeof(uint64_t));
-#pragma omp parallel for schedule(static)
-  for (int64_t wd = 0; wd < words; ++wd) {
-    uint64_t v = 0;
-    const int64_t base = wd << 6;
-    const int64_t end = std::min<int64_t>(64, table_size - base);
-    for (int64_t b = 0; b < end; ++b)
-      if (offsets[base + b + 1] > offsets[base + b]) v |= 1ull << b;
-    bitmap[wd] = v;
+// Compact open-addressing posting-range hash: keys (-1 empty) -> (range
+// start, count) over the sorted posting array; plus the occupancy
+// bitmap.  Capacity is the caller-chosen power of two (>= 2x unique).
+int build_kmer_hash(const int32_t* post_kmer, int64_t n_post,
+                    int32_t* hkeys, int32_t* hoff, int32_t* hcnt,
+                    int64_t hcap, uint64_t* bitmap, int64_t n_bits) {
+  std::memset(hkeys, 0xFF, hcap * sizeof(int32_t));
+  std::memset(bitmap, 0, ((n_bits + 63) >> 6) * sizeof(uint64_t));
+  const uint64_t hmask = static_cast<uint64_t>(hcap) - 1;
+  int64_t i = 0;
+  while (i < n_post) {
+    const int32_t km = post_kmer[i];
+    int64_t j = i + 1;
+    while (j < n_post && post_kmer[j] == km) ++j;
+    uint64_t slot = (static_cast<uint32_t>(km) * 2654435761u) & hmask;
+    while (hkeys[slot] >= 0) slot = (slot + 1) & hmask;
+    hkeys[slot] = km;
+    hoff[slot] = static_cast<int32_t>(i);
+    hcnt[slot] = static_cast<int32_t>(j - i);
+    bitmap[static_cast<uint32_t>(km) >> 6] |= 1ull << (km & 63);
+    i = j;
   }
   return 0;
 }
 
-// Dense k-mer -> posting-offset table from (unique kmer, count) pairs:
-// scatter + sequential int32 prefix sum.  numpy's cumsum over the 64M-bin
-// table is the index-build bottleneck on bandwidth-starved hosts; a plain
-// streaming loop is several times faster there.
-int fill_offset_table(const int64_t* uk, const int32_t* cnt, int64_t n,
-                      int32_t* table, int64_t table_size) {
-  // table has table_size entries (== 20^6 + 1), caller-zeroed or not:
-  // write counts into a scratch pass using the table itself.
-  std::memset(table, 0, table_size * sizeof(int32_t));
-  for (int64_t i = 0; i < n; ++i) table[uk[i] + 1] = cnt[i];
-  int32_t acc = 0;
-  for (int64_t i = 0; i < table_size; ++i) {
-    acc += table[i];
-    table[i] = acc;
-  }
-  return 0;
-}
 
 }  // extern "C"

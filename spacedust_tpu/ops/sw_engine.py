@@ -159,55 +159,50 @@ class DeviceAlignDB:
     def _resident(self):
         return (self.qdata, self.qbias, self.tdata, self.sub)
 
-    def _lower(self, lq: int, lt: int, B: int, gap_open: int,
-               gap_extend: int):
-        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-        return _sw_bucket.lower(
-            *[sds(a) for a in self._resident()],
-            jax.ShapeDtypeStruct((6, B), jnp.int32),
-            Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend)
+    def _call(self, params, lq: int, lt: int, gap_open: int,
+              gap_extend: int):
+        return _sw_bucket(*self._resident(), params,
+                          Lq=lq, Lt=lt, gap_open=gap_open,
+                          gap_extend=gap_extend)
 
-    def get_compiled(self, lq: int, lt: int, gap_open: int, gap_extend: int):
-        """AOT executable for one bucket shape (compiles on first use;
-        concurrent compiles of different shapes are allowed — the lock
-        guards only the cache dict)."""
+    def ensure_warm(self, lq: int, lt: int, gap_open: int,
+                    gap_extend: int) -> None:
+        """First-use compile of one bucket shape through the jit path —
+        which, unlike AOT lower().compile(), both READS and WRITES the
+        persistent compilation cache (a warm cache turns ~3.5 s compiles
+        into ~1.2 s loads on later runs).  Concurrent warms of different
+        shapes are allowed; the lock guards only the bookkeeping."""
         import time
         key = (lq, lt, gap_open, gap_extend)
         with self._lock:
-            c = self._compiled.get(key)
-        if c is not None:
-            return c
+            if key in self._compiled:
+                return
         t0 = time.perf_counter()
         B = batch_width(lq, lt)
-        c = self._lower(lq, lt, B, gap_open, gap_extend).compile()
+        params = np.zeros((6, B), dtype=np.int32)
+        params[1] = params[3] = 1
+        params[4] = -1
+        r = self._call(jnp.asarray(params), lq, lt, gap_open, gap_extend)
         dt = time.perf_counter() - t0
         with self._lock:
-            if key in self._compiled:       # lost a benign race
-                return self._compiled[key]
-            self._compiled[key] = c
-            self.metrics["compile_s"] += dt
-            self.metrics["n_executables"] += 1
-        return c
+            if key not in self._compiled:
+                self._compiled[key] = r      # keep result: sync later
+                self.metrics["compile_s"] += dt
+                self.metrics["n_executables"] += 1
 
     def warm(self, rungs, gap_open: int, gap_extend: int) -> None:
-        """Precompile the bucket executables and run each once on dummy
-        params (call from a background thread at pipeline start).  The
-        dummy execution matters: on the target hardware the FIRST program
-        execution of a process absorbs a large, variable device/tunnel
-        bring-up stall (tens of seconds observed) that would otherwise
-        land in the align stage."""
+        """Compile + dummy-execute the bucket shapes (call from a
+        background thread at pipeline start).  The dummy execution
+        matters: on the target hardware the FIRST program execution of a
+        process absorbs a large, variable device/tunnel bring-up stall
+        (tens of seconds observed) that would otherwise land in the
+        align stage."""
         from concurrent.futures import ThreadPoolExecutor
-
-        def one(lq):
-            fn = self.get_compiled(lq, lq, gap_open, gap_extend)
-            B = batch_width(lq, lq)
-            params = np.zeros((6, B), dtype=np.int32)
-            params[1] = params[3] = 1
-            params[4] = -1
-            return fn(*self._resident(), jnp.asarray(params))
-
         with ThreadPoolExecutor(max_workers=2) as pool:
-            rs = list(pool.map(one, rungs))
+            list(pool.map(lambda lq: self.ensure_warm(lq, lq, gap_open,
+                                                      gap_extend), rungs))
+        with self._lock:
+            rs = list(self._compiled.values())
         if rs:
             np.asarray(rs[-1][0][:1])       # sync: absorb first-exec stall
 
@@ -221,7 +216,7 @@ class DeviceAlignDB:
         pending = []
         t0 = time.perf_counter()
         for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
-            fn = self.get_compiled(lq, lt, gap_open, gap_extend)
+            self.ensure_warm(lq, lt, gap_open, gap_extend)
             B = batch_width(lq, lt)
             for s in range(0, len(qoff), B):
                 e = min(s + B, len(qoff))
@@ -235,7 +230,8 @@ class DeviceAlignDB:
                 params[4, :e - s] = term[s:e]
                 params[4, e - s:] = -1
                 params[5, :] = 1 if reverse else 0
-                r = fn(*self._resident(), jnp.asarray(params))
+                r = self._call(jnp.asarray(params), lq, lt,
+                               gap_open, gap_extend)
                 pending.append((pos[s:e], r))
                 self.metrics["n_batches"] += 1
         self.metrics["dispatch_s"] += time.perf_counter() - t0
@@ -332,10 +328,8 @@ class StructureDeviceDB(DeviceAlignDB):
         return (self.qss, self.qaa, self.qbias, self.tss, self.taa,
                 self.m3di, self.aasc)
 
-    def _lower(self, lq: int, lt: int, B: int, gap_open: int,
-               gap_extend: int):
-        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-        return _sw_bucket_struct.lower(
-            *[sds(a) for a in self._resident()],
-            jax.ShapeDtypeStruct((6, B), jnp.int32),
-            Lq=lq, Lt=lt, gap_open=gap_open, gap_extend=gap_extend)
+    def _call(self, params, lq: int, lt: int, gap_open: int,
+              gap_extend: int):
+        return _sw_bucket_struct(*self._resident(), params,
+                                 Lq=lq, Lt=lt, gap_open=gap_open,
+                                 gap_extend=gap_extend)

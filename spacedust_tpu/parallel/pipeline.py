@@ -135,6 +135,36 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
     return out
 
 
+def query_split_prefilter(query_db: SetDB, target_db: SetDB,
+                          n_splits: int,
+                          sensitivity: float = 5.7, max_seqs: int = 300,
+                          comp_bias_correction: bool = True,
+                          mask: bool = True, cov_thr: float = 0.0,
+                          cov_mode: int = 0, same_qt_db: bool = False
+                          ) -> dict[int, list[PrefilterHit]]:
+    """Query-split mode (the reference's preferred split when the index
+    fits memory, Prefiltering.cpp:273-377): every host holds the full
+    target index and prefilters a residue-balanced query slice.  Unlike
+    the target split, the per-query k-mer beam generation — the dominant
+    cost — shards linearly, and the merge is a trivial concatenation
+    (results are per-query complete).  Per-slice wall times land in
+    query_split_prefilter.last_stats."""
+    import time
+    eng = PrefilterEngine(query_db, target_db, sensitivity=sensitivity,
+                          max_seqs=max_seqs, same_qt_db=same_qt_db,
+                          comp_bias_correction=comp_bias_correction,
+                          mask=mask, cov_thr=cov_thr, cov_mode=cov_mode)
+    splits = residue_balanced_splits(query_db.lengths, n_splits)
+    out: dict[int, list[PrefilterHit]] = {}
+    times = []
+    for (s, e) in splits:
+        t0 = time.perf_counter()
+        out.update(eng.match_range(s, e))
+        times.append(round(time.perf_counter() - t0, 3))
+    query_split_prefilter.last_stats = {"slice_s": times}
+    return out
+
+
 class ShardedAlignmentEngine(AlignmentEngine):
     """AlignmentEngine whose forward/reverse SW batches run on a device
     mesh with per-device target-shard residency."""

@@ -199,22 +199,22 @@ class KmerIndex:
         self.t_offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
         self.t_data = (np.concatenate(self.masked) if self.masked
                        else np.empty(0, np.uint8))
-        # native two-pass parallel build (IndexBuilder::fillDatabase
-        # analog); emits postings in (kmer, seq, pos) order plus the dense
-        # offset table in one call — the numpy build (_build_postings,
-        # kept for the parity test) costs ~10 s on genome-scale DBs
+        # native parallel build (IndexBuilder::fillDatabase analog);
+        # emits postings in (kmer, seq, pos) order — the numpy build
+        # (_build_postings, kept for the parity test) costs ~10 s on
+        # genome-scale DBs.  The posting-range structure is a compact
+        # hash + occupancy bitmap, NOT a dense 20^6 offset table: two
+        # 256 MB fresh tables per process cost seconds of first-touch
+        # page faults on the target host.
         from ..native import build_kmer_index
-        km, sid, pos, off = build_kmer_index(
+        km, sid, pos = build_kmer_index(
             self.t_data, self.t_offsets, lens.astype(np.int32),
             np.diagonal(self.seed.sub_int).astype(np.int32),
             X_INDEX, self.kmer_thr)
         self.kmers = km.astype(np.int64)
         self.seq_ids = sid
         self.positions = pos
-        self.offsets = off
-        self.offsets32 = off
-        from ..native import offsets_bitmap
-        self.occupied = offsets_bitmap(off)
+        self._finish_hash()
 
     def _build_postings(self, lens: np.ndarray) -> None:
         """All-sequences-at-once window extraction over the concatenated
@@ -261,27 +261,17 @@ class KmerIndex:
         self.seq_ids = sid[first]
         self.positions = pos[first]
 
-    def _finish_offsets(self) -> None:
-        # dense k-mer -> posting-range offsets (IndexTable layout):
-        # O(1) lookups instead of binary search over the posting array.
-        # Built int32-only from the sorted postings' (unique, count)
-        # pairs with a native prefix-sum — a dense 64M-bin int64
-        # bincount/cumsum dominates the whole index build otherwise.
-        from ..native import fill_offset_table
-        if len(self.kmers):
-            bnd = np.flatnonzero(self.kmers[1:] != self.kmers[:-1]) + 1
-            starts = np.concatenate(([0], bnd))
-            uk = self.kmers[starts]
-            cnt = np.diff(np.concatenate((starts, [len(self.kmers)])))
-        else:
-            uk = np.empty(0, np.int64)
-            cnt = np.empty(0, np.int64)
-        self.offsets = fill_offset_table(uk, cnt, SEED_ALPHA ** KMER_SIZE + 1)
-        self.offsets32 = self.offsets
+    def _finish_hash(self) -> None:
+        # compact posting-range hash + occupancy bitmap for the native
+        # match engine (the python paths binary-search the sorted
+        # posting column directly)
+        from ..native import build_kmer_hash
+        self.hkeys, self.hoff, self.hcnt, self.occupied = build_kmer_hash(
+            self.kmers.astype(np.int32), SEED_ALPHA ** KMER_SIZE)
 
     def lookup_ranges(self, query_kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        lo = self.offsets[query_kmers]
-        hi = self.offsets[query_kmers + 1]
+        lo = np.searchsorted(self.kmers, query_kmers, side="left")
+        hi = np.searchsorted(self.kmers, query_kmers, side="right")
         return lo, hi
 
     # -- persistence (the PrefilteringIndexReader analog,
@@ -325,9 +315,7 @@ class KmerIndex:
         self.kmers = z["kmers"].astype(np.int64)
         self.seq_ids = z["seq_ids"]
         self.positions = z["positions"]
-        self._finish_offsets()
-        from ..native import offsets_bitmap
-        self.occupied = offsets_bitmap(self.offsets32)
+        self._finish_hash()
         return self
 
 
@@ -610,7 +598,7 @@ class PrefilterEngine:
             self.comp_bias,
             np.ascontiguousarray(self.tables.scores, dtype=np.int16),
             np.ascontiguousarray(self.tables.idx, dtype=np.int16),
-            idx.offsets32, idx.occupied,
+            idx.hkeys, idx.hoff, idx.hcnt, idx.occupied,
             np.ascontiguousarray(idx.seq_ids, dtype=np.int32),
             np.ascontiguousarray(idx.positions, dtype=np.int32),
             np.ascontiguousarray(idx.t_data, dtype=np.uint8),

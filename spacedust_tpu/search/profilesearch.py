@@ -70,7 +70,6 @@ class ProfileSearchParams:
     sensitivity: float = 5.7
     eval_thr: float = 10.0
     max_res_list_len: int = 300
-    aln_len_thr: int = 30
     cov_thr: float = 0.8
     cov_mode: int = COV_MODE_QUERY
     aln_len_thr: int = 30
@@ -106,7 +105,6 @@ class TargetProfilePrefilter:
                                 kmer_score_threshold, ranked_desc_sort20,
                                 spaced_kmers, _ragged_arange,
                                 compute_bin_count)
-        from ..native import fill_offset_table, offsets_bitmap
         self.qdb = query_db
         self.cdb = cdb
         self.max_seqs = max_seqs
@@ -178,13 +176,9 @@ class TargetProfilePrefilter:
             km = np.empty(0, np.int64)
             rp = np.empty(0, np.int32)
             ps = np.empty(0, np.int32)
-        bnd = (np.flatnonzero(km[1:] != km[:-1]) + 1 if len(km)
-               else np.empty(0, np.int64))
-        st = np.concatenate(([0], bnd))
-        uk = km[st] if len(km) else np.empty(0, np.int64)
-        cnt = np.diff(np.concatenate((st, [len(km)])))
-        self.offsets = fill_offset_table(uk, cnt.astype(np.int32),
-                                         SEED_ALPHA ** KMER_SIZE + 1)
+        # sorted posting column; lookups binary-search it (no dense
+        # 20^6 table: fresh 256 MB page faults are seconds on this host)
+        self.post_kmer = km
         self.post_rep = rp
         self.post_pos = ps
         # consensus residues back the diagonal rescore
@@ -214,8 +208,8 @@ class TargetProfilePrefilter:
         if len(starts) == 0:
             return []
         packed = pack_kmers(kmers)
-        lo = self.offsets[packed]
-        hi = self.offsets[packed + 1]
+        lo = np.searchsorted(self.post_kmer, packed, side="left")
+        hi = np.searchsorted(self.post_kmer, packed, side="right")
         cnt = hi - lo
         if cnt.sum() == 0:
             return []

@@ -84,9 +84,21 @@ def test_native_index_build_matches_numpy():
     ref.t_offsets = idx.t_offsets
     ref.t_data = idx.t_data
     ref._build_postings(lens)
-    ref._finish_offsets()
     np.testing.assert_array_equal(idx.kmers, ref.kmers)
     np.testing.assert_array_equal(idx.seq_ids, ref.seq_ids)
     np.testing.assert_array_equal(idx.positions, ref.positions)
-    np.testing.assert_array_equal(np.asarray(idx.offsets),
-                                  np.asarray(ref.offsets))
+    # the compact hash must agree with binary search over the postings
+    probe = np.unique(np.concatenate(
+        [idx.kmers[::97], np.arange(0, 20**6, 999983, dtype=np.int64)]))
+    lo = np.searchsorted(idx.kmers, probe, side="left")
+    hi = np.searchsorted(idx.kmers, probe, side="right")
+    hmask = len(idx.hkeys) - 1
+    for km, l, h in zip(probe, lo, hi):
+        occ = bool(idx.occupied[int(km) >> 6] >> np.uint64(int(km) & 63)
+                   & np.uint64(1))
+        assert occ == (h > l), f"bitmap mismatch at {km}"
+        if h > l:
+            slot = (np.uint32(km) * np.uint32(2654435761)) & np.uint32(hmask)
+            while idx.hkeys[slot] != km:
+                slot = (slot + 1) & np.uint32(hmask)
+            assert idx.hoff[slot] == l and idx.hcnt[slot] == h - l
