@@ -152,6 +152,7 @@ class DeviceAlignDB:
         self.tdata = jnp.asarray(_pow2_pad(tdata.astype(np.int8)))
         self.sub = jnp.asarray(sub.astype(np.int32))
         self._compiled = {}
+        self._inflight = {}
         self._lock = threading.Lock()
         self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
                         "n_executables": 0, "n_batches": 0}
@@ -171,24 +172,42 @@ class DeviceAlignDB:
         which, unlike AOT lower().compile(), both READS and WRITES the
         persistent compilation cache (a warm cache turns ~3.5 s compiles
         into ~1.2 s loads on later runs).  Concurrent warms of different
-        shapes are allowed; the lock guards only the bookkeeping."""
+        shapes are allowed; a per-key in-flight event makes late callers
+        WAIT for the owning thread instead of duplicating a multi-second
+        compile (the warm thread races the streaming dispatcher)."""
+        import threading
         import time
         key = (lq, lt, gap_open, gap_extend)
         with self._lock:
             if key in self._compiled:
                 return
-        t0 = time.perf_counter()
-        B = batch_width(lq, lt)
-        params = np.zeros((6, B), dtype=np.int32)
-        params[1] = params[3] = 1
-        params[4] = -1
-        r = self._call(jnp.asarray(params), lq, lt, gap_open, gap_extend)
-        dt = time.perf_counter() - t0
-        with self._lock:
-            if key not in self._compiled:
+            ev = self._inflight.get(key)
+            if ev is None:
+                ev = threading.Event()
+                self._inflight[key] = ev
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            ev.wait()
+            return
+        try:
+            t0 = time.perf_counter()
+            B = batch_width(lq, lt)
+            params = np.zeros((6, B), dtype=np.int32)
+            params[1] = params[3] = 1
+            params[4] = -1
+            r = self._call(jnp.asarray(params), lq, lt, gap_open,
+                           gap_extend)
+            dt = time.perf_counter() - t0
+            with self._lock:
                 self._compiled[key] = r      # keep result: sync later
                 self.metrics["compile_s"] += dt
                 self.metrics["n_executables"] += 1
+        finally:
+            ev.set()
+            with self._lock:
+                self._inflight.pop(key, None)
 
     def warm(self, rungs, gap_open: int, gap_extend: int) -> None:
         """Compile + dummy-execute the bucket shapes (call from a
@@ -320,6 +339,7 @@ class StructureDeviceDB(DeviceAlignDB):
         self.m3di = jnp.asarray(m3di.astype(np.int32))
         self.aasc = jnp.asarray(aasc.astype(np.int32))
         self._compiled = {}
+        self._inflight = {}
         self._lock = threading.Lock()
         self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
                         "n_executables": 0, "n_batches": 0}

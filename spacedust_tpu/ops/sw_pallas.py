@@ -8,10 +8,13 @@ grid walk over target tiles, so per-column work is pure VPU:
 
   grid = (B / BT, Lt / TT)   — TPU grids run sequentially, so VMEM
                                scratch persists along the Lt dimension
-  S blocks (TT, BT, Lq) int8 stream HBM->VMEM via the BlockSpec
-  pipeline (column-leading so the per-column slice is a leading-dim
-  index); the substitution grid S[j,b,i] = prof[b, :, i].onehot(t[b,j])
-  is produced OUTSIDE by one MXU einsum (cheap, exact in int8).
+  S blocks (BT, TT, Lq) int8 stream HBM->VMEM via the BlockSpec
+  pipeline in the einsum's NATIVE (B, Lt, Lq) layout (no transpose);
+  the inner loop walks 8-column sub-blocks with static offsets —
+  Mosaic requires provably-aligned mid-dimension slices — and unrolls
+  the 8 columns.  The substitution grid S[b,j,i] =
+  prof[b, :, i].onehot(t[b,j]) is produced OUTSIDE by one MXU einsum
+  (cheap, exact in int8).
 
 The math is bit-identical to sw_scan_core: Kadane clamp at 0, the
 log-depth max-plus F scan, first-maximum argmax per column, strict->
@@ -30,6 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 30)
+
+
+_UNROLL = 8
 
 
 def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
@@ -61,50 +67,60 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
     ge = jnp.int32(gap_extend)
     ge_i = ge * iota_q
 
-    def col_step(jj, carry):
-        # every per-pair carry stays 2-D (BT, 1) int32 — 1-D/bool loop
-        # carries fail Mosaic's scf.for legalization
-        H, E, gmax, gj, gi, found, fj, fi = carry
-        col = j_tile * TT + jj
-        s_col = s_ref[jj].astype(jnp.int32)
-        s_col = jnp.where(row_valid, s_col, NEG)
-        diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
-        E_new = jnp.maximum(E - ge, H - go)
-        Hbase = jnp.maximum(jnp.maximum(diag + s_col, 0), E_new)
-        # F via log-depth running max of (Hbase + ge*i) shifted right once
-        x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
-                    constant_values=NEG)
-        shift = 1
-        while shift < Lq:
-            x = jnp.maximum(x, jnp.pad(x[:, :-shift], ((0, 0), (shift, 0)),
-                                       constant_values=NEG))
-            shift *= 2
-        F = x - go - (ge_i - ge)
-        H_new = jnp.where(row_valid, jnp.maximum(Hbase, F), 0)
+    def blk_step(jb, carry):
+        # 8-column sub-block with a provably-aligned start; columns
+        # unrolled (also amortizes loop bookkeeping)
+        s_blk = s_ref[:, pl.ds(jb * _UNROLL, _UNROLL), :]
 
-        col_valid = (col < tlens)             # (BT, 1)
-        H_out = jnp.where(col_valid, H_new, H)
-        E_out = jnp.where(col_valid, E_new, E)
+        def col_step(k, carry):
+            # every per-pair carry stays 2-D (BT, 1) int32 — 1-D/bool
+            # loop carries fail Mosaic's scf.for legalization
+            H, E, gmax, gj, gi, found, fj, fi = carry
+            col = j_tile * TT + jb * _UNROLL + k
+            s_col = s_blk[:, k, :].astype(jnp.int32)
+            s_col = jnp.where(row_valid, s_col, NEG)
+            diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
+            E_new = jnp.maximum(E - ge, H - go)
+            Hbase = jnp.maximum(jnp.maximum(diag + s_col, 0), E_new)
+            # F via log-depth running max of (Hbase + ge*i) shifted once
+            x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
+                        constant_values=NEG)
+            shift = 1
+            while shift < Lq:
+                x = jnp.maximum(x, jnp.pad(x[:, :-shift],
+                                           ((0, 0), (shift, 0)),
+                                           constant_values=NEG))
+                shift *= 2
+            F = x - go - (ge_i - ge)
+            H_new = jnp.where(row_valid, jnp.maximum(Hbase, F), 0)
 
-        Hmasked = jnp.where(row_valid, H_new, -1)
-        cmax = jnp.max(Hmasked, axis=1, keepdims=True)       # (BT, 1)
-        # first-maximum argmax (Mosaic lacks integer argmax)
-        ci = jnp.min(jnp.where(Hmasked == cmax, iota_q, jnp.int32(Lq)),
-                     axis=1, keepdims=True).astype(jnp.int32)
-        better = col_valid & (cmax > gmax)
-        gmax = jnp.where(better, cmax, gmax)
-        gj = jnp.where(better, col, gj)
-        gi = jnp.where(better, ci, gi)
-        if with_terminate:
-            hit = col_valid & (found == 0) & (cmax == term)
-            fj = jnp.where(hit, col, fj)
-            fi = jnp.where(hit, ci, fi)
-            found = jnp.where(hit, 1, found)
-        return (H_out, E_out, gmax, gj, gi, found, fj, fi)
+            col_valid = (col < tlens)             # (BT, 1)
+            H_out = jnp.where(col_valid, H_new, H)
+            E_out = jnp.where(col_valid, E_new, E)
+
+            Hmasked = jnp.where(row_valid, H_new, -1)
+            cmax = jnp.max(Hmasked, axis=1, keepdims=True)   # (BT, 1)
+            # first-maximum argmax (Mosaic lacks integer argmax)
+            ci = jnp.min(jnp.where(Hmasked == cmax, iota_q, jnp.int32(Lq)),
+                         axis=1, keepdims=True).astype(jnp.int32)
+            better = col_valid & (cmax > gmax)
+            gmax = jnp.where(better, cmax, gmax)
+            gj = jnp.where(better, col, gj)
+            gi = jnp.where(better, ci, gi)
+            if with_terminate:
+                hit = col_valid & (found == 0) & (cmax == term)
+                fj = jnp.where(hit, col, fj)
+                fi = jnp.where(hit, ci, fi)
+                found = jnp.where(hit, 1, found)
+            return (H_out, E_out, gmax, gj, gi, found, fj, fi)
+
+        for k in range(_UNROLL):
+            carry = col_step(k, carry)
+        return carry
 
     carry = (h_scr[:], e_scr[:], gmax_scr[:], gj_scr[:], gi_scr[:],
              fnd_scr[:], fj_scr[:], fi_scr[:])
-    carry = jax.lax.fori_loop(0, TT, col_step, carry)
+    carry = jax.lax.fori_loop(0, TT // _UNROLL, blk_step, carry)
     H, E, gmax, gj, gi, found, fj, fi = carry
     h_scr[:] = H
     e_scr[:] = E
@@ -133,10 +149,10 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
                    gap_extend: int, with_terminate: bool = False,
                    bt: int = 128, tt: int | None = None,
                    interpret: bool = False, all_outputs: bool = False):
-    """S: (Lt, B, Lq) int8 substitution grid (column-major leading dim
-    so the per-column slice is a leading-dim index); per-pair lens
-    int32. Returns (score, t_end, q_end) or (score, fj, fi, found)."""
-    Lt, B, Lq = S.shape
+    """S: (B, Lt, Lq) int8 substitution grid in the einsum's native
+    layout; per-pair lens int32. Returns (score, t_end, q_end) or
+    (score, fj, fi, found), or all six outputs."""
+    B, Lt, Lq = S.shape
     # VMEM budget: the kernel keeps ~10 live (BT, Lq) int32 arrays
     # (H/E scratch + loop temporaries) plus the double-buffered S block
     # inside the 16 MB VMEM; size BT and TT accordingly.
@@ -148,7 +164,7 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
         while tt > 8 and 2 * tt * BT * Lq > 4 * 1024 * 1024:
             tt //= 2
     TT = min(tt, Lt)
-    assert B % BT == 0 and Lt % TT == 0
+    assert B % BT == 0 and Lt % TT == 0 and TT % 8 == 0
     grid = (B // BT, Lt // TT)
 
     kern = functools.partial(_kernel, TT=TT, Lq=Lq, gap_open=gap_open,
@@ -161,7 +177,7 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
         kern,
         grid=grid,
         in_specs=[vec(), vec(), vec(),
-                  pl.BlockSpec((TT, BT, Lq), lambda i, j: (j, i, 0),
+                  pl.BlockSpec((BT, TT, Lq), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[vec() for _ in range(6)],
         out_shape=out_shapes,
@@ -187,8 +203,9 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
 
 
 def score_grid(prof, tseq):
-    """S[j, b, i] = prof[b, :, i] . onehot(tseq[b, j]) via one MXU int8
-    einsum, transposed column-leading; cast to int8 (scores fit)."""
+    """S[b, j, i] = prof[b, :, i] . onehot(tseq[b, j]) via one MXU int8
+    einsum in its native (B, Lt, Lq) layout; cast to int8 (scores fit).
+    No transpose: the kernel reads aligned (BT, TT, Lq) blocks."""
     A = prof.shape[1]
     onehot = (tseq[:, None, :] ==
               np.arange(A, dtype=np.int32)[None, :, None]).astype(jnp.int8)
@@ -196,4 +213,4 @@ def score_grid(prof, tseq):
         onehot, prof.astype(jnp.int8),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)       # (B, Lt, Lq)
-    return jnp.transpose(S.astype(jnp.int8), (1, 0, 2))
+    return S.astype(jnp.int8)
