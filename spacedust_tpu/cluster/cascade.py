@@ -37,9 +37,12 @@ from .seqcluster import (SeqClusterParams, cluster_sequences,
 
 @dataclass
 class LinclustParams:
-    """kmermatcher defaults (linclust/kmermatcher.cpp): k=21 over the
-    full alphabet with --kmer-per-seq 21 lowest-hash k-mers per seq."""
-    k: int = 21
+    """kmermatcher parameters as the reference resolves them for the
+    cascade's redundancy pass (setKmerLengthAndAlphabet,
+    linclust/kmermatcher.cpp:1267-1291: seqIdThr >= 0.9 -> k=14 over the
+    13-letter reduced alphabet; --kmer-per-seq 21)."""
+    k: int = 14
+    alphabet_size: int = 13
     kmers_per_seq: int = 21
     seq_id_thr: float = 0.9
     cov_thr: float = 0.8
@@ -47,17 +50,80 @@ class LinclustParams:
     eval_thr: float = 1e-3
 
 
-def _hash_kmers(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """All k-mer codes + multiply-shift hashes for one encoded sequence.
-    (The reference uses a circular hash, kmermatcher.cpp getNextKmer; any
-    uniform hash preserves the algorithm — selection is by hash order.)"""
+def reduced_alphabet_mapping(target_size: int = 13) -> np.ndarray:
+    """ReducedMatrix's greedy mutual-information alphabet reduction
+    (lib/mmseqs/src/prefiltering/ReducedMatrix.cpp:36-158): starting
+    from the blosum62 joint probabilities over the 20 residues (X
+    excluded), repeatedly merge the pair (i, j) maximizing the mutual
+    information sum(p * log2(p / pi*pj)) of the coupled matrix; first
+    strict maximum in row-major scan wins (coupleWithBestInfo).  Returns
+    a (21,) token -> group-id map; X keeps its own final group.  The
+    13-letter result is pinned by test_cascade against the reference's
+    printed grouping: (A S T)(C)(D N)(E Q)(F Y)(G)(H)(I V)(K R)(L M)
+    (P)(W)(X)."""
+    from ..stats.submat import load_substitution_matrix
+    m = load_substitution_matrix()
+    p = m.prob[:20, :20].astype(np.float64).copy()
+    groups: list[list[int]] = [[a] for a in range(20)]
+
+    def merged(p, i, j):
+        q = np.delete(np.delete(p, j, axis=0), j, axis=1).copy()
+        q[i, :] += np.delete(p[j, :], j)
+        q[:, i] += np.delete(p[:, j], j)
+        q[i, i] += p[j, j]
+        return q
+
+    def mutual_info(q):
+        pb = q.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.log2(q / (pb[:, None] * pb[None, :]))
+        return float(np.nansum(q * s))
+
+    while len(groups) > target_size - 1:      # -1: X joins at the end
+        n = len(groups)
+        best, bi, bj = -np.inf, 0, 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                v = mutual_info(merged(p, i, j))
+                if v > best:
+                    best, bi, bj = v, i, j
+        p = merged(p, bi, bj)
+        groups[bi] = groups[bi] + groups[bj]
+        del groups[bj]
+    mapping = np.empty(21, dtype=np.int64)
+    for gid, members in enumerate(groups):
+        for a in members:
+            mapping[a] = gid
+    mapping[20] = len(groups)                 # X -> own group
+    return mapping
+
+
+def _hash_kmers(seq: np.ndarray, k: int, mapping: np.ndarray | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """All k-mer codes + multiply-shift hashes for one encoded sequence,
+    over the reduced alphabet when `mapping` is given (windows touching
+    the X group are skipped, as the reference's Indexer packs only the
+    alphabetSize-1 informative letters).  (The reference uses a circular
+    hash, kmermatcher.cpp getNextKmer; any uniform hash preserves the
+    algorithm — selection is by hash order.)"""
+    base = 21
+    valid = None
+    if mapping is not None:
+        x_group = int(mapping[20])
+        seq = mapping[seq.astype(np.int64)]
+        base = x_group                       # informative group count
+        valid_res = seq != x_group
+    else:
+        valid_res = np.ones(len(seq), bool)
     n = len(seq) - k + 1
     if n <= 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(seq, k).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(seq, k)
+    ok = np.lib.stride_tricks.sliding_window_view(valid_res, k).all(axis=1)
     codes = np.zeros(n, dtype=np.uint64)
     for i in range(k):
-        codes = codes * np.uint64(21) + win[:, i]
+        codes = codes * np.uint64(base) + win[:, i].astype(np.uint64)
+    codes = codes[ok]
     h = codes * np.uint64(0x9E3779B97F4A7C15)
     h ^= h >> np.uint64(29)
     h *= np.uint64(0xBF58476D1CE4E5B9)
@@ -72,10 +138,13 @@ def linclust(db: SetDB, params: LinclustParams | None = None
     lens = db.lengths
 
     # 1. kmermatcher: per sequence keep the kmers_per_seq lowest-hash
-    # k-mers; bucket sequences by k-mer code (kmermatcher.cpp fillKmerBuffer)
+    # k-mers over the reduced alphabet; bucket sequences by k-mer code
+    # (kmermatcher.cpp fillKmerBuffer)
+    mapping = (reduced_alphabet_mapping(par.alphabet_size)
+               if par.alphabet_size < 21 else None)
     buckets: dict[int, list[int]] = {}
     for key in range(db.size):
-        codes, h = _hash_kmers(db.sequence(key), par.k)
+        codes, h = _hash_kmers(db.sequence(key), par.k, mapping)
         if len(codes) == 0:
             continue
         m = min(par.kmers_per_seq, len(codes))

@@ -104,3 +104,25 @@ def test_linclust_short_sequences_no_kmers(tmp_path):
     db = create_setdb_from_fastas([str(tmp_path / "s.faa")])
     clu = linclust(db, LinclustParams(k=21))
     assert clu == {0: [0], 1: [1]}
+
+
+def test_reduced_alphabet_matches_reference():
+    """The greedy mutual-information reduction must reproduce the
+    reference's printed 13-letter alphabet (ReducedMatrix.cpp; observed
+    from `kmermatcher --alph-size aa:13`):
+    (A S T)(C)(D N)(E Q)(F Y)(G)(H)(I V)(K R)(L M)(P)(W)(X)."""
+    from spacedust_tpu.cluster.cascade import reduced_alphabet_mapping
+    from spacedust_tpu.constants import AA_ORDER
+
+    mapping = reduced_alphabet_mapping(13)
+    aa_to_tok = {aa: i for i, aa in enumerate(AA_ORDER)}
+    expected = ["AST", "C", "DN", "EQ", "FY", "G", "H", "IV", "KR", "LM",
+                "P", "W", "X"]
+    groups = {}
+    for grp in expected:
+        gids = {int(mapping[aa_to_tok[a]]) for a in grp}
+        assert len(gids) == 1, f"group {grp} split: {gids}"
+        gid = gids.pop()
+        assert gid not in groups, f"groups {grp} and {groups[gid]} merged"
+        groups[gid] = grp
+    assert len(groups) == 13
