@@ -58,9 +58,10 @@ def batch_width(lq: int, lt: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Lq", "Lt", "gap_open", "gap_extend"))
+    static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "use16"))
 def _sw_bucket(qdata, qbias, tdata, sub, params,
-               *, Lq: int, Lt: int, gap_open: int, gap_extend: int):
+               *, Lq: int, Lt: int, gap_open: int, gap_extend: int,
+               use16: bool = False):
     """One compiled bucket. qdata/qbias/tdata: resident int8 arrays.
     sub: (A, A) int32. params: (6, B) int32 rows = qoff, qlen, toff,
     tlen, terminate, rev (one array so a batch costs ONE host->device
@@ -99,7 +100,7 @@ def _sw_bucket(qdata, qbias, tdata, sub, params,
         from .sw_pallas import score_grid, sw_scan_pallas
         S = score_grid(prof, tt)
         return sw_scan_pallas(S, qlen, tlen, terminate, gap_open,
-                              gap_extend, all_outputs=True)
+                              gap_extend, all_outputs=True, use16=use16)
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
                         with_terminate=True, all_outputs=True)
@@ -145,12 +146,34 @@ class DeviceAlignDB:
     stage's wall-clock."""
 
     def __init__(self, qdata: np.ndarray, qbias: np.ndarray,
-                 tdata: np.ndarray, sub: np.ndarray):
+                 tdata: np.ndarray, sub: np.ndarray,
+                 q_offsets: np.ndarray | None = None):
         import threading
         self.qdata = jnp.asarray(_pow2_pad(qdata.astype(np.int8)))
         self.qbias = jnp.asarray(_pow2_pad(qbias.astype(np.int8)))
         self.tdata = jnp.asarray(_pow2_pad(tdata.astype(np.int8)))
         self.sub = jnp.asarray(sub.astype(np.int32))
+        # int16 DP eligibility: an upper bound on any alignment score of
+        # query q is the sum of its positive per-position best profile
+        # cells; if even the largest query stays under 2^15 minus the
+        # ge*i term of the F scan, the whole engine runs the int16
+        # kernel (2x VPU lanes).  The bound is conservative, so
+        # exactness is unconditional; oversized DBs fall back to int32.
+        self._use16 = False
+        if q_offsets is not None and len(qdata):
+            rowmax = np.maximum(
+                sub.astype(np.int64).max(axis=1)[qdata.astype(np.int64)]
+                + qbias.astype(np.int64), 0)
+            csum = np.concatenate(([0], np.cumsum(rowmax)))
+            per_q = csum[q_offsets[1:]] - csum[q_offsets[:-1]]
+            self._use16 = bool(per_q.max(initial=0) + 4096 < 32000)
+        # DISABLED pending toolchain support: this jaxlib's Mosaic fails
+        # to legalize vector i16 arith.maxsi ("failed to legalize
+        # operation 'arith.maxsi'" on vector<8x128x2xi16>), so the int16
+        # kernel (bit-identical in interpret mode, see
+        # tests/test_sw.py::test_pallas_int16_matches_core) cannot
+        # compile for the real chip yet; ~2x VPU lanes once it can.
+        self._use16 = False
         self._compiled = {}
         self._inflight = {}
         self._lock = threading.Lock()
@@ -164,7 +187,7 @@ class DeviceAlignDB:
               gap_extend: int):
         return _sw_bucket(*self._resident(), params,
                           Lq=lq, Lt=lt, gap_open=gap_open,
-                          gap_extend=gap_extend)
+                          gap_extend=gap_extend, use16=self._use16)
 
     def ensure_warm(self, lq: int, lt: int, gap_open: int,
                     gap_extend: int) -> None:

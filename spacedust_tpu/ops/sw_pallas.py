@@ -42,14 +42,15 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
             score_ref, gj_ref, gi_ref, fnd_ref, fj_ref, fi_ref,
             h_scr, e_scr, gmax_scr, gj_scr, gi_scr, fnd_scr, fj_scr, fi_scr,
             *, TT: int, Lq: int, gap_open: int, gap_extend: int,
-            with_terminate: bool):
+            with_terminate: bool, dtype=jnp.int32):
+    neg = jnp.asarray(NEG if dtype == jnp.int32 else -16384, dtype)
     j_tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
     @pl.when(j_tile == 0)
     def _init():
         h_scr[:] = jnp.zeros_like(h_scr)
-        e_scr[:] = jnp.full_like(e_scr, NEG)
+        e_scr[:] = jnp.full_like(e_scr, neg)
         gmax_scr[:] = jnp.zeros_like(gmax_scr)
         gj_scr[:] = jnp.full_like(gj_scr, -1)
         gi_scr[:] = jnp.zeros_like(gi_scr)
@@ -63,9 +64,9 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
     BT = qlens.shape[0]
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (BT, Lq), 1)
     row_valid = iota_q < qlens                # (BT, Lq)
-    go = jnp.int32(gap_open)
-    ge = jnp.int32(gap_extend)
-    ge_i = ge * iota_q
+    go = jnp.asarray(gap_open, dtype)
+    ge = jnp.asarray(gap_extend, dtype)
+    ge_i = (ge * iota_q.astype(dtype))
 
     def blk_step(jb, carry):
         # 8-column sub-block with a provably-aligned start; columns
@@ -77,28 +78,34 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
             # loop carries fail Mosaic's scf.for legalization
             H, E, gmax, gj, gi, found, fj, fi = carry
             col = j_tile * TT + jb * _UNROLL + k
-            s_col = s_blk[:, k, :].astype(jnp.int32)
-            s_col = jnp.where(row_valid, s_col, NEG)
+            # NB no per-column row mask on s_col: invalid rows (i >=
+            # qlen) sit BELOW all valid rows and H is zeroed there every
+            # column, so neither the diagonal term nor the downward-
+            # flowing F scan can leak garbage into valid rows, and the
+            # column max reads Hmasked.  (Also required for the int16
+            # variant: a NEG mask would overflow diag + s.)
+            s_col = s_blk[:, k, :].astype(dtype)
             diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
             E_new = jnp.maximum(E - ge, H - go)
             Hbase = jnp.maximum(jnp.maximum(diag + s_col, 0), E_new)
             # F via log-depth running max of (Hbase + ge*i) shifted once
             x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
-                        constant_values=NEG)
+                        constant_values=neg)
             shift = 1
             while shift < Lq:
                 x = jnp.maximum(x, jnp.pad(x[:, :-shift],
                                            ((0, 0), (shift, 0)),
-                                           constant_values=NEG))
+                                           constant_values=neg))
                 shift *= 2
             F = x - go - (ge_i - ge)
-            H_new = jnp.where(row_valid, jnp.maximum(Hbase, F), 0)
+            H_new = jnp.where(row_valid, jnp.maximum(Hbase, F),
+                              jnp.asarray(0, dtype))
 
             col_valid = (col < tlens)             # (BT, 1)
             H_out = jnp.where(col_valid, H_new, H)
             E_out = jnp.where(col_valid, E_new, E)
 
-            Hmasked = jnp.where(row_valid, H_new, -1)
+            Hmasked = jnp.where(row_valid, H_new.astype(jnp.int32), -1)
             cmax = jnp.max(Hmasked, axis=1, keepdims=True)   # (BT, 1)
             # first-maximum argmax (Mosaic lacks integer argmax)
             ci = jnp.min(jnp.where(Hmasked == cmax, iota_q, jnp.int32(Lq)),
@@ -144,11 +151,12 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("gap_open", "gap_extend", "with_terminate", "bt", "tt",
-                     "interpret", "all_outputs"))
+                     "interpret", "all_outputs", "use16"))
 def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
                    gap_extend: int, with_terminate: bool = False,
                    bt: int = 128, tt: int | None = None,
-                   interpret: bool = False, all_outputs: bool = False):
+                   interpret: bool = False, all_outputs: bool = False,
+                   use16: bool = False):
     """S: (B, Lt, Lq) int8 substitution grid in the einsum's native
     layout; per-pair lens int32. Returns (score, t_end, q_end) or
     (score, fj, fi, found), or all six outputs."""
@@ -167,9 +175,14 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
     assert B % BT == 0 and Lt % TT == 0 and TT % 8 == 0
     grid = (B // BT, Lt // TT)
 
+    # int16 DP state doubles the VPU lanes per op; only legal when the
+    # caller guarantees max H + Lq stays under 2^15 (DeviceAlignDB
+    # computes a per-DB score upper bound)
+    dt = jnp.int16 if use16 else jnp.int32
     kern = functools.partial(_kernel, TT=TT, Lq=Lq, gap_open=gap_open,
                              gap_extend=gap_extend,
-                             with_terminate=with_terminate or all_outputs)
+                             with_terminate=with_terminate or all_outputs,
+                             dtype=dt)
     vec = lambda: pl.BlockSpec((BT, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((B, 1), jnp.int32)] * 6
@@ -182,8 +195,8 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
         out_specs=[vec() for _ in range(6)],
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((BT, Lq), jnp.int32),     # H
-            pltpu.VMEM((BT, Lq), jnp.int32),     # E
+            pltpu.VMEM((BT, Lq), dt),            # H
+            pltpu.VMEM((BT, Lq), dt),            # E
             pltpu.VMEM((BT, 1), jnp.int32),      # gmax
             pltpu.VMEM((BT, 1), jnp.int32),      # gj
             pltpu.VMEM((BT, 1), jnp.int32),      # gi

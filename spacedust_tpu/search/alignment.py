@@ -630,7 +630,9 @@ class AlignmentEngine:
         self._dev = DeviceAlignDB(qdata, qbias,
                                   np.ascontiguousarray(tdb.seq_data,
                                                        dtype=np.uint8),
-                                  self.matrix.sub_int)
+                                  self.matrix.sub_int,
+                                  q_offsets=np.ascontiguousarray(
+                                      qdb.offsets, dtype=np.int64))
         return self._dev
 
     def _forward_jobs(self, pairs: list[tuple[int, int]], base: int):

@@ -156,3 +156,28 @@ def test_pallas_interpret_matches_core():
     for i, (r, g) in enumerate(zip(ref_t, got_t)):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
                                       err_msg=f"terminate output {i}")
+
+
+def test_pallas_int16_matches_core():
+    """The int16 DP variant (used when the per-query score upper bound
+    fits 2^15) must stay bit-identical to the int32 core."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spacedust_tpu.ops.sw_pallas import score_grid, sw_scan_pallas
+    from spacedust_tpu.ops.sw_tiled import sw_scan_core
+
+    rng = np.random.default_rng(11)
+    B, Lq, Lt = 16, 128, 256
+    prof = jnp.asarray(rng.integers(-8, 12, (B, 21, Lq)).astype(np.int32))
+    tseq = jnp.asarray(rng.integers(0, 20, (B, Lt)).astype(np.int32))
+    qlens = jnp.asarray(rng.integers(3, Lq + 1, B).astype(np.int32))
+    tlens = jnp.asarray(rng.integers(3, Lt + 1, B).astype(np.int32))
+    term = jnp.full(B, -1, jnp.int32)
+    ref = sw_scan_core(prof, tseq, qlens, tlens, 11, 1, term,
+                       t_tile=64, all_outputs=True)
+    S = score_grid(prof, tseq)
+    got = sw_scan_pallas(S, qlens, tlens, term, 11, 1, all_outputs=True,
+                         bt=8, tt=32, interpret=True, use16=True)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=f"output {i}")
