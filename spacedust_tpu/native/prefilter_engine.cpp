@@ -17,7 +17,8 @@
 // Layout contract (see native/__init__.py::prefilter_match_batch):
 //   seed tables   : sc3/id3 are the (8000, 8000) int16 sorted 3-mer
 //                   product tables (ExtendedSubstitutionMatrix).
-//   posting index : offsets int32[20^6+1]; post_seq/post_pos int32[N].
+//   posting index : compact hash (keys/off/cnt) + occupancy bitmap;
+//                   post_seq/post_pos int32[N] sorted by (kmer,seq,pos).
 //   outputs       : per query <= max_seqs rows of (seq, score, diag).
 
 #include <algorithm>
@@ -158,10 +159,10 @@ int prefilter_match_batch(
   const int bin_mask = bin_count - 1;
   int64_t total_raw = 0;
   const bool prof_on = getenv("SPACEDUST_PREF_PROFILE") != nullptr;
-  double t_gen = 0, t_lookup = 0, t_group = 0, t_rescore = 0, t_emit = 0;
+  double t_lookup = 0, t_group = 0, t_rescore = 0, t_emit = 0;
 
 #pragma omp parallel reduction(+ : total_raw) \
-    reduction(+ : t_gen, t_lookup, t_group, t_rescore, t_emit)
+    reduction(+ : t_lookup, t_group, t_rescore, t_emit)
   {
     std::vector<Match> matches;
     std::vector<int32_t> gen_kmers;

@@ -117,10 +117,6 @@ class AlignmentParams:
     include_identity: bool = False
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _bucket_len(x: int) -> int:
     """Pad lengths to the next power of two (>=64) to bound XLA recompiles."""
     n = 64
