@@ -69,8 +69,9 @@ class FlatDB:
                 payload, max_output_size=1 << 31)
         else:
             out = payload
-        if not out.endswith(b"\n"):
-            out += b"\n"
+        # the reference only NUL-terminates the decompressed payload
+        # (DBReader::getDataCompressed); appending a newline here would
+        # inject a spurious 0x0A into binary entries (e.g. profiles)
         return out + b"\x00"
 
     @property

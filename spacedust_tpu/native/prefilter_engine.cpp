@@ -103,6 +103,220 @@ void local_bias_f32(const uint8_t* seq, int n, const int32_t* sub, int nsym,
   }
 }
 
+// Per-thread scratch + the query-local phases shared by the one-shot
+// match loop (prefilter_match_batch) and the cached-beam probe loop
+// (prefilter_match_beams): double-diagonal detection, ungapped Kadane
+// rescore, per-target max, histogram threshold, ordered emit.
+struct QueryScratch {
+  std::vector<Match> matches;
+  std::vector<int32_t> gen_kmers;
+  std::vector<int32_t> grp_count;      // size nt, zeroed between queries
+  std::vector<int32_t> grp_pos;        // size nt + 1
+  std::vector<int32_t> grouped;
+  std::vector<Cand> cands;
+  std::vector<Cand> sel;
+  std::vector<int32_t> profile;        // L x alpha int32
+  std::vector<float> bias_buf;
+  std::vector<int32_t> touched;
+  std::vector<uint16_t> seen_diag;
+};
+
+// Everything after the match stream is built for one query: detection,
+// rescore (sequence-query profile from ungapped_sub + bias/4, or the
+// profile-query pssm/4 rows when qprof != nullptr), selection and emit.
+// Exact semantics of the original inline code (bit-parity tested).
+void process_query_matches(
+    QueryScratch& S, const uint8_t* q, int L, const float* bias,
+    const int8_t* corr8,   // nullable: precomputed char(bias/4 +/- .5)
+    const int16_t* qprof,  // nullable: (L, 20) int16 PSSM rows
+    const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens,
+    const int32_t* ungapped_sub, int alpha,
+    int max_seqs, int min_diag_score, int bin_mask,
+    int identity, float cov_thr, int cov_mode,
+    int32_t* oseq, int32_t* osco, int32_t* odia, int32_t* ocnt) {
+  std::vector<Match>& matches = S.matches;
+  std::vector<int32_t>& grp_count = S.grp_count;
+  std::vector<int32_t>& grp_pos = S.grp_pos;
+  std::vector<int32_t>& grouped = S.grouped;
+  std::vector<Cand>& cands = S.cands;
+  std::vector<Cand>& sel = S.sel;
+  std::vector<int32_t>& profile = S.profile;
+  cands.clear();
+  sel.clear();
+
+  // ---- double-diagonal detection (CacheFriendlyOperations) ----
+  const int nm = static_cast<int>(matches.size());
+  std::vector<int32_t>& touched = S.touched;
+  touched.clear();
+  for (int m = 0; m < nm; ++m) {
+    if (grp_count[matches[m].seq]++ == 0) touched.push_back(matches[m].seq);
+  }
+  std::sort(touched.begin(), touched.end());
+  {
+    int32_t run = 0;
+    for (int32_t s : touched) {
+      grp_pos[s] = run;
+      run += grp_count[s];
+    }
+  }
+  grouped.resize(nm);
+  for (int m = 0; m < nm; ++m) grouped[grp_pos[matches[m].seq]++] = m;
+  // grp_pos[s] now points one past the end of group s
+
+  std::vector<uint16_t>& seen_diag = S.seen_diag;
+  int gstart = 0;
+  for (int32_t s : touched) {
+    const int gend = grp_pos[s];
+    // phase 1: arrival-ordered detection with the zero-init quirk
+    // phase 2: drop consecutive same-diag8 detections
+    // phase 3: dedup (seq, diag16), first occurrence wins
+    seen_diag.clear();
+    int prev8 = 0;           // zero-init quirk: first hit on diag8==0 counts
+    bool first = true;
+    int prev_det8 = -1;
+    for (int g = gstart; g < gend; ++g) {
+      const Match& mm = matches[grouped[g]];
+      const int d8 = mm.diag & 0xFF;
+      const bool detected = first ? (d8 == 0) : (d8 == prev8);
+      prev8 = d8;
+      first = false;
+      if (!detected) continue;
+      const bool keep = (prev_det8 == -1) || (d8 != prev_det8);
+      prev_det8 = d8;
+      if (!keep) continue;
+      bool dup = false;
+      for (uint16_t sd : seen_diag)
+        if (sd == mm.diag) { dup = true; break; }
+      if (dup) continue;
+      seen_diag.push_back(mm.diag);
+      cands.push_back({s, mm.diag, grouped[g], 0, 0});
+    }
+    gstart = gend;
+    grp_count[s] = 0;        // reset scratch for next query
+  }
+
+  // ---- ungapped Kadane rescore (UngappedAlignment semantics) ----
+  if (!cands.empty()) {
+    profile.assign(static_cast<size_t>(L) * alpha, 0);
+    if (qprof) {
+      // profile query: pssm/4 with C truncation, X column 0
+      // (Sequence.cpp:271-280, UngappedAlignment.cpp:399-404)
+      for (int i = 0; i < L; ++i) {
+        int32_t* dst = &profile[static_cast<size_t>(i) * alpha];
+        const int16_t* row = qprof + static_cast<int64_t>(i) * 20;
+        for (int a = 0; a < 20; ++a)
+          dst[a] = static_cast<int32_t>(row[a] / 4);   // trunc toward 0
+      }
+    } else {
+      for (int i = 0; i < L; ++i) {
+        const int32_t* row = ungapped_sub + q[i] * alpha;
+        int8_t c8;
+        if (corr8) {
+          c8 = corr8[i];
+        } else {
+          double corr = static_cast<double>(bias[i]) / 4.0;
+          c8 = static_cast<int8_t>(corr < 0.0 ? corr - 0.5 : corr + 0.5);
+        }
+        int32_t* dst = &profile[static_cast<size_t>(i) * alpha];
+        for (int a = 0; a < alpha; ++a) dst[a] = row[a] + c8;
+      }
+    }
+    for (Cand& c : cands) {
+      const uint16_t d16 = c.diag;
+      const uint16_t neg = static_cast<uint16_t>(0 - d16);
+      const int min_dist = std::min<int>(neg, d16);
+      const int tl = tlens[c.seq];
+      const bool pos_diag = d16 < 0x8000;
+      int seg, q_off, t_off;
+      if (pos_diag) {
+        seg = (min_dist < L) ? std::min(tl, L - min_dist) : 0;
+        q_off = min_dist;
+        t_off = 0;
+      } else {
+        seg = (min_dist < tl) ? std::min(tl - min_dist, L) : 0;
+        q_off = 0;
+        t_off = min_dist;
+      }
+      const uint8_t* t = tdata + toffs[c.seq] + t_off;
+      int32_t cur = 0, best = 0;
+      for (int k = 0; k < seg; ++k) {
+        cur += profile[static_cast<size_t>(q_off + k) * alpha + t[k]];
+        if (cur < 0) cur = 0;
+        if (cur > best) best = cur;
+      }
+      c.raw = best;
+      c.score = best > 255 ? 255 : best;
+    }
+  }
+
+  // ---- per-target max (keepMaxElement: first max in arrival order) ----
+  for (size_t i = 0; i < cands.size();) {
+    size_t j = i;
+    size_t bi = i;
+    for (; j < cands.size() && cands[j].seq == cands[i].seq; ++j)
+      if (cands[j].score > cands[bi].score) bi = j;
+    sel.push_back(cands[bi]);
+    i = j;
+  }
+
+  // ---- detection-stream order: (seq & bin_mask, arrival) ----
+  std::sort(sel.begin(), sel.end(), [bin_mask](const Cand& a, const Cand& b) {
+    const int ba = a.seq & bin_mask, bb = b.seq & bin_mask;
+    if (ba != bb) return ba < bb;
+    return a.arrival < b.arrival;
+  });
+
+  // ---- histogram score threshold (computeScoreThreshold) ----
+  int hist[256];
+  std::memset(hist, 0, sizeof(hist));
+  for (const Cand& c : sel) ++hist[c.score];
+  int thr_score = 0, found = 0;
+  for (int t = 255; t > 0; --t) {
+    found += hist[t];
+    if (found >= max_seqs) { thr_score = t; break; }
+  }
+  if (thr_score < min_diag_score) thr_score = min_diag_score;
+
+  // ---- stable desc sort by clamped score, emit with --max-seqs cap ----
+  std::stable_sort(sel.begin(), sel.end(),
+                   [](const Cand& a, const Cand& b) {
+                     return a.score > b.score;
+                   });
+  int cnt = 0;
+  const float qlen_f = static_cast<float>(L);
+  auto cov_ok = [&](int sid) {
+    if (cov_thr <= 0.0f ||
+        (cov_mode != 0 && cov_mode != 2 && cov_mode != 5))
+      return true;
+    const float tlen_f = static_cast<float>(tlens[sid]);
+    if (cov_mode == 0)
+      return qlen_f / tlen_f >= cov_thr && tlen_f / qlen_f >= cov_thr;
+    if (cov_mode == 2) return tlen_f / qlen_f >= cov_thr;
+    return std::min(tlen_f, qlen_f) / std::max(tlen_f, qlen_f) >= cov_thr;
+  };
+  int emitted = 0;  // counts toward max_seqs BEFORE the coverage filter
+  if (identity >= 0) {
+    ++emitted;
+    if (cov_ok(identity)) {
+      oseq[cnt] = identity;
+      osco[cnt] = 65535;
+      odia[cnt] = 0;
+      ++cnt;
+    }
+  }
+  for (const Cand& c : sel) {
+    if (emitted >= max_seqs) break;
+    if (c.score < thr_score || c.seq == identity) continue;
+    ++emitted;
+    if (!cov_ok(c.seq)) continue;
+    oseq[cnt] = c.seq;
+    osco[cnt] = c.score >= 255 ? c.raw : c.score;
+    odia[cnt] = c.diag;
+    ++cnt;
+  }
+  *ocnt = cnt;
+}
+
 }  // namespace
 
 extern "C" {
@@ -164,15 +378,12 @@ int prefilter_match_batch(
 #pragma omp parallel reduction(+ : total_raw) \
     reduction(+ : t_lookup, t_group, t_rescore, t_emit)
   {
-    std::vector<Match> matches;
-    std::vector<int32_t> gen_kmers;
-    std::vector<int32_t> grp_count(nt, 0);
-    std::vector<int32_t> grp_pos(nt + 1, 0);
-    std::vector<int32_t> grouped;          // match indices grouped by seq
-    std::vector<Cand> cands;
-    std::vector<Cand> sel;
-    std::vector<int32_t> profile;          // L x alpha int32
-    std::vector<float> bias_buf;
+    QueryScratch S;
+    S.grp_count.assign(nt, 0);
+    S.grp_pos.assign(nt + 1, 0);
+    std::vector<Match>& matches = S.matches;
+    std::vector<int32_t>& gen_kmers = S.gen_kmers;
+    std::vector<float>& bias_buf = S.bias_buf;
 
 #pragma omp for schedule(dynamic, 8)
     for (int qi = 0; qi < nq; ++qi) {
@@ -183,8 +394,6 @@ int prefilter_match_batch(
         local_bias_f32(q, L, seed_sub, nsym, p_back, bias_buf.data());
       const float* bias = bias_buf.data();
       matches.clear();
-      cands.clear();
-      sel.clear();
 
       // ---- per-window similar-k-mer generation + posting lookups ----
       double tp0 = prof_on ? prof_now() : 0;
@@ -260,168 +469,14 @@ int prefilter_match_batch(
       total_raw += static_cast<int64_t>(matches.size());
       if (prof_on) { t_lookup += prof_now() - tp0; tp0 = prof_now(); }
 
-      // ---- double-diagonal detection (CacheFriendlyOperations) ----
-      // counting sort by seq, stable in arrival order
-      const int nm = static_cast<int>(matches.size());
-      std::vector<int32_t> touched;
-      for (int m = 0; m < nm; ++m) {
-        if (grp_count[matches[m].seq]++ == 0) touched.push_back(matches[m].seq);
-      }
-      std::sort(touched.begin(), touched.end());
-      {
-        int32_t run = 0;
-        for (int32_t s : touched) {
-          grp_pos[s] = run;
-          run += grp_count[s];
-        }
-      }
-      grouped.resize(nm);
-      for (int m = 0; m < nm; ++m) grouped[grp_pos[matches[m].seq]++] = m;
-      // grp_pos[s] now points one past the end of group s
-
-      std::vector<uint16_t> seen_diag;
-      int gstart = 0;
-      for (int32_t s : touched) {
-        const int gend = grp_pos[s];
-        // phase 1: arrival-ordered detection with the zero-init quirk
-        // phase 2: drop consecutive same-diag8 detections
-        // phase 3: dedup (seq, diag16), first occurrence wins
-        seen_diag.clear();
-        int prev8 = 0;           // zero-init quirk: first hit on diag8==0 counts
-        bool first = true;
-        int prev_det8 = -1;
-        for (int g = gstart; g < gend; ++g) {
-          const Match& mm = matches[grouped[g]];
-          const int d8 = mm.diag & 0xFF;
-          const bool detected = first ? (d8 == 0) : (d8 == prev8);
-          prev8 = d8;
-          first = false;
-          if (!detected) continue;
-          const bool keep = (prev_det8 == -1) || (d8 != prev_det8);
-          prev_det8 = d8;
-          if (!keep) continue;
-          bool dup = false;
-          for (uint16_t sd : seen_diag)
-            if (sd == mm.diag) { dup = true; break; }
-          if (dup) continue;
-          seen_diag.push_back(mm.diag);
-          cands.push_back({s, mm.diag, grouped[g], 0, 0});
-        }
-        gstart = gend;
-        grp_count[s] = 0;        // reset scratch for next query
-      }
-
-      if (prof_on) { t_group += prof_now() - tp0; tp0 = prof_now(); }
-      // ---- ungapped Kadane rescore (UngappedAlignment semantics) ----
-      if (!cands.empty()) {
-        profile.assign(static_cast<size_t>(L) * alpha, 0);
-        for (int i = 0; i < L; ++i) {
-          const int32_t* row = ungapped_sub + q[i] * alpha;
-          double corr = static_cast<double>(bias[i]) / 4.0;
-          int8_t c8 =
-              static_cast<int8_t>(corr < 0.0 ? corr - 0.5 : corr + 0.5);
-          int32_t* dst = &profile[static_cast<size_t>(i) * alpha];
-          for (int a = 0; a < alpha; ++a) dst[a] = row[a] + c8;
-        }
-        for (Cand& c : cands) {
-          const uint16_t d16 = c.diag;
-          const uint16_t neg = static_cast<uint16_t>(0 - d16);
-          const int min_dist = std::min<int>(neg, d16);
-          const int tl = tlens[c.seq];
-          const bool pos_diag = d16 < 0x8000;
-          int seg, q_off, t_off;
-          if (pos_diag) {
-            seg = (min_dist < L) ? std::min(tl, L - min_dist) : 0;
-            q_off = min_dist;
-            t_off = 0;
-          } else {
-            seg = (min_dist < tl) ? std::min(tl - min_dist, L) : 0;
-            q_off = 0;
-            t_off = min_dist;
-          }
-          const uint8_t* t = tdata + toffs[c.seq] + t_off;
-          int32_t cur = 0, best = 0;
-          for (int k = 0; k < seg; ++k) {
-            cur += profile[static_cast<size_t>(q_off + k) * alpha + t[k]];
-            if (cur < 0) cur = 0;
-            if (cur > best) best = cur;
-          }
-          c.raw = best;
-          c.score = best > 255 ? 255 : best;
-        }
-      }
-
-      if (prof_on) { t_rescore += prof_now() - tp0; tp0 = prof_now(); }
-      // ---- per-target max (keepMaxElement: first max in arrival order) ----
-      for (size_t i = 0; i < cands.size();) {
-        size_t j = i;
-        size_t bi = i;
-        for (; j < cands.size() && cands[j].seq == cands[i].seq; ++j)
-          if (cands[j].score > cands[bi].score) bi = j;
-        sel.push_back(cands[bi]);
-        i = j;
-      }
-
-      // ---- detection-stream order: (seq & bin_mask, arrival) ----
-      std::sort(sel.begin(), sel.end(), [bin_mask](const Cand& a, const Cand& b) {
-        const int ba = a.seq & bin_mask, bb = b.seq & bin_mask;
-        if (ba != bb) return ba < bb;
-        return a.arrival < b.arrival;
-      });
-
-      // ---- histogram score threshold (computeScoreThreshold) ----
-      int hist[256];
-      std::memset(hist, 0, sizeof(hist));
-      for (const Cand& c : sel) ++hist[c.score];
-      int thr_score = 0, found = 0;
-      for (int t = 255; t > 0; --t) {
-        found += hist[t];
-        if (found >= max_seqs) { thr_score = t; break; }
-      }
-      if (thr_score < min_diag_score) thr_score = min_diag_score;
-
-      // ---- stable desc sort by clamped score, emit with --max-seqs cap ----
-      std::stable_sort(sel.begin(), sel.end(),
-                       [](const Cand& a, const Cand& b) {
-                         return a.score > b.score;
-                       });
-      int32_t* oseq = out_seq + static_cast<int64_t>(qi) * max_seqs;
-      int32_t* osco = out_score + static_cast<int64_t>(qi) * max_seqs;
-      int32_t* odia = out_diag + static_cast<int64_t>(qi) * max_seqs;
-      int cnt = 0;
       const int identity = identity_base >= 0 ? identity_base + qi : -1;
-      const float qlen_f = static_cast<float>(L);
-      auto cov_ok = [&](int sid) {
-        if (cov_thr <= 0.0f ||
-            (cov_mode != 0 && cov_mode != 2 && cov_mode != 5))
-          return true;
-        const float tlen_f = static_cast<float>(tlens[sid]);
-        if (cov_mode == 0)
-          return qlen_f / tlen_f >= cov_thr && tlen_f / qlen_f >= cov_thr;
-        if (cov_mode == 2) return tlen_f / qlen_f >= cov_thr;
-        return std::min(tlen_f, qlen_f) / std::max(tlen_f, qlen_f) >= cov_thr;
-      };
-      int emitted = 0;  // counts toward max_seqs BEFORE the coverage filter
-      if (identity >= 0) {
-        ++emitted;
-        if (cov_ok(identity)) {
-          oseq[cnt] = identity;
-          osco[cnt] = 65535;
-          odia[cnt] = 0;
-          ++cnt;
-        }
-      }
-      for (const Cand& c : sel) {
-        if (emitted >= max_seqs) break;
-        if (c.score < thr_score || c.seq == identity) continue;
-        ++emitted;
-        if (!cov_ok(c.seq)) continue;
-        oseq[cnt] = c.seq;
-        osco[cnt] = c.score >= 255 ? c.raw : c.score;
-        odia[cnt] = c.diag;
-        ++cnt;
-      }
-      out_cnt[qi] = cnt;
+      process_query_matches(
+          S, q, L, bias, nullptr, nullptr, tdata, toffs, tlens,
+          ungapped_sub, alpha,
+          max_seqs, min_diag_score, bin_mask, identity, cov_thr, cov_mode,
+          out_seq + static_cast<int64_t>(qi) * max_seqs,
+          out_score + static_cast<int64_t>(qi) * max_seqs,
+          out_diag + static_cast<int64_t>(qi) * max_seqs, &out_cnt[qi]);
       if (prof_on) t_emit += prof_now() - tp0;
     }
   }
@@ -431,6 +486,294 @@ int prefilter_match_batch(
             "emit %.2fs (thread-summed)\n",
             t_lookup, t_group, t_rescore, t_emit);
   if (total_raw_out) *total_raw_out = total_raw;
+  return 0;
+}
+
+// Cached-beam target-split support (the reference's target-split mode
+// repeats per-query k-mer generation for EVERY split,
+// Prefiltering.cpp:662-723; here the beam is generated ONCE, screened
+// against the GLOBAL k-mer occupancy bitmap — 8 MB, trivially
+// replicated/all-reduced across hosts — and each target shard is then
+// probed with the cached survivors, so per-shard work scales with the
+// shard, not with the query beam).
+//
+// prefilter_generate_beams: per-query (kmer, window) pairs in exact
+// generation order (window asc, beam order), optionally screened by a
+// global occupancy bitmap.  Output buffers are new[]-allocated and
+// returned via out-params; the caller copies and calls
+// free_beam_buffers.
+int prefilter_generate_beams(
+    const uint8_t* qdata, const int64_t* qoffs, const int32_t* qlens, int nq,
+    const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
+    const int16_t* sc3, const int16_t* id3,
+    const uint64_t* global_bitmap,       // nullable: no screening
+    int x_index, int kmer_thr,
+    int32_t** out_kmer, int32_t** out_win, int64_t* out_offs /* nq+1 */,
+    int8_t* out_corr8 /* nullable: len(qdata) rescore bias chars */) {
+  std::vector<std::vector<int32_t>> bk(nq), bw(nq);
+#pragma omp parallel
+  {
+    std::vector<float> bias_buf;
+#pragma omp for schedule(dynamic, 8)
+    for (int qi = 0; qi < nq; ++qi) {
+      const uint8_t* q = qdata + qoffs[qi];
+      const int L = qlens[qi];
+      bias_buf.assign(L, 0.0f);
+      if (do_bias)
+        local_bias_f32(q, L, seed_sub, nsym, p_back, bias_buf.data());
+      const float* bias = bias_buf.data();
+      if (out_corr8) {
+        // char(bias/4 +/- 0.5) rescore correction, computed once here
+        // instead of per shard probe (UngappedAlignment.cpp:392-396)
+        int8_t* dst = out_corr8 + qoffs[qi];
+        for (int i = 0; i < L; ++i) {
+          double corr = static_cast<double>(bias[i]) / 4.0;
+          dst[i] = static_cast<int8_t>(corr < 0.0 ? corr - 0.5 : corr + 0.5);
+        }
+      }
+      std::vector<int32_t>& okm = bk[qi];
+      std::vector<int32_t>& own = bw[qi];
+      const int nw = L - kSpan + 1;
+      for (int w = 0; w < nw; ++w) {
+        int r[kK];
+        bool ok = true;
+        for (int k = 0; k < kK; ++k) {
+          r[k] = q[w + kPattern[k]];
+          if (r[k] == x_index) { ok = false; }
+        }
+        if (!ok) continue;
+        float b = 0.0f;
+        for (int k = 0; k < kK; ++k) b += bias[w + kPattern[k]];
+        double bd = static_cast<double>(b);
+        int16_t biasv =
+            static_cast<int16_t>(bd < 0.0 ? bd - 0.5 : bd + 0.5);
+        int thr = kmer_thr - biasv;
+        if (thr < 0) thr = 0;
+
+        const int part0 = r[0] + 20 * r[1] + 400 * r[2];
+        const int part1 = r[3] + 20 * r[4] + 400 * r[5];
+        const int16_t* s0 = sc3 + static_cast<int64_t>(part0) * kPartPow;
+        const int16_t* s1 = sc3 + static_cast<int64_t>(part1) * kPartPow;
+        const int16_t* i0 = id3 + static_cast<int64_t>(part0) * kPartPow;
+        const int16_t* i1 = id3 + static_cast<int64_t>(part1) * kPartPow;
+        const int best1 = s1[0];
+        const int n0 = count_ge(s0, thr - best1);
+        for (int i = 0; i < n0; ++i) {
+          const int cut = thr - s0[i];
+          const int n1 = count_ge(s1, cut);
+          const int32_t base = i0[i];
+          for (int j = 0; j < n1; ++j) {
+            const int32_t km = base + static_cast<int32_t>(i1[j]) * kPartPow;
+            if (global_bitmap &&
+                !(global_bitmap[static_cast<uint32_t>(km) >> 6]
+                  & (1ull << (km & 63))))
+              continue;
+            okm.push_back(km);
+            own.push_back(w);
+          }
+        }
+      }
+    }
+  }
+  int64_t total = 0;
+  out_offs[0] = 0;
+  for (int qi = 0; qi < nq; ++qi) {
+    total += static_cast<int64_t>(bk[qi].size());
+    out_offs[qi + 1] = total;
+  }
+  int32_t* km = new int32_t[std::max<int64_t>(total, 1)];
+  int32_t* wn = new int32_t[std::max<int64_t>(total, 1)];
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int qi = 0; qi < nq; ++qi) {
+    std::memcpy(km + out_offs[qi], bk[qi].data(),
+                bk[qi].size() * sizeof(int32_t));
+    std::memcpy(wn + out_offs[qi], bw[qi].data(),
+                bw[qi].size() * sizeof(int32_t));
+  }
+  *out_kmer = km;
+  *out_win = wn;
+  return 0;
+}
+
+void free_beam_buffers(int32_t* kmer, int32_t* win) {
+  delete[] kmer;
+  delete[] win;
+}
+
+// prefilter_match_beams: probe a (shard-local) posting index with
+// pre-generated beams; identical downstream semantics to
+// prefilter_match_batch (the cached beam preserves the exact match
+// arrival order: windows ascending, generation order, posting order).
+int prefilter_match_beams(
+    const uint8_t* qdata, const int64_t* qoffs, const int32_t* qlens, int nq,
+    const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
+    const int8_t* corr8,       // nullable: precomputed rescore bias chars
+    const int32_t* beam_kmer, const int32_t* beam_win,
+    const int64_t* beam_offs,
+    const int32_t* hkeys, const int32_t* hoff, const int32_t* hcnt,
+    int64_t hcap, const uint64_t* occupied,   // nullable: skip screen
+    const int32_t* post_seq, const int32_t* post_pos,
+    const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
+    const int32_t* ungapped_sub, int alpha,
+    int max_seqs, int min_diag_score, int bin_count,
+    int identity_base, float cov_thr, int cov_mode,
+    int32_t* out_seq, int32_t* out_score, int32_t* out_diag, int32_t* out_cnt,
+    int64_t* total_raw_out) {
+  const int bin_mask = bin_count - 1;
+  int64_t total_raw = 0;
+#pragma omp parallel reduction(+ : total_raw)
+  {
+    QueryScratch S;
+    S.grp_count.assign(nt, 0);
+    S.grp_pos.assign(nt + 1, 0);
+    std::vector<Match>& matches = S.matches;
+#pragma omp for schedule(dynamic, 8)
+    for (int qi = 0; qi < nq; ++qi) {
+      const uint8_t* q = qdata + qoffs[qi];
+      const int L = qlens[qi];
+      const int8_t* c8 = corr8 ? corr8 + qoffs[qi] : nullptr;
+      if (!c8) {
+        S.bias_buf.assign(L, 0.0f);
+        if (do_bias)
+          local_bias_f32(q, L, seed_sub, nsym, p_back, S.bias_buf.data());
+      }
+      matches.clear();
+      const uint64_t hmask = static_cast<uint64_t>(hcap) - 1;
+      const int64_t b0 = beam_offs[qi], b1 = beam_offs[qi + 1];
+      for (int64_t t = b0; t < b1; ++t) {
+        const int32_t km = beam_kmer[t];
+        if (occupied &&
+            !(occupied[static_cast<uint32_t>(km) >> 6]
+              & (1ull << (km & 63))))
+          continue;
+        uint64_t slot = (static_cast<uint32_t>(km) * 2654435761u) & hmask;
+        while (hkeys[slot] != km) {
+          if (hkeys[slot] < 0) { slot = hcap; break; }
+          slot = (slot + 1) & hmask;
+        }
+        if (slot == static_cast<uint64_t>(hcap)) continue;
+        const int32_t lo = hoff[slot];
+        const int32_t hi = lo + hcnt[slot];
+        const int32_t w = beam_win[t];
+        for (int32_t p = lo; p < hi; ++p) {
+          matches.push_back(
+              {post_seq[p], static_cast<uint16_t>(w - post_pos[p])});
+        }
+      }
+      total_raw += static_cast<int64_t>(matches.size());
+      const int identity = identity_base >= 0 ? identity_base + qi : -1;
+      process_query_matches(
+          S, q, L, c8 ? nullptr : S.bias_buf.data(), c8, nullptr,
+          tdata, toffs, tlens,
+          ungapped_sub, alpha, max_seqs, min_diag_score, bin_mask, identity,
+          cov_thr, cov_mode,
+          out_seq + static_cast<int64_t>(qi) * max_seqs,
+          out_score + static_cast<int64_t>(qi) * max_seqs,
+          out_diag + static_cast<int64_t>(qi) * max_seqs, &out_cnt[qi]);
+    }
+  }
+  if (total_raw_out) *total_raw_out = total_raw;
+  return 0;
+}
+
+// partition_beams: split each query's screened beam into per-shard
+// sub-beams by probing every shard's occupancy bitmap (on hardware the
+// per-shard 8 MB masks are all-gathered once; a query host then ships
+// each target-shard host ONLY the sub-beam it can match — less beam
+// traffic than broadcasting, and the shard probe loses both the bitmap
+// screen and the miss-probes).  Output layout: one concatenated
+// (kmer, win) buffer; segment (s, qi) = [offs[s*nq+qi], offs[s*nq+qi+1]),
+// shard-major, so offs[s*nq : s*nq+nq+1] is a valid per-query offset
+// vector for shard s.
+// build_shard_mask_table: per-k-mer byte whose bit s says "k-mer occurs
+// in shard s" (n_shards <= 8 per table), scattered from the shard
+// occupancy bitmaps.  ~64 MB, built once per split setup; the partition
+// then costs ONE probe per beam survivor instead of n_shards bitmap
+// probes.
+int build_shard_mask_table(const uint64_t* shard_bitmaps, int n_shards,
+                           int64_t words_per_shard, uint8_t* table) {
+  const int64_t n_bytes = words_per_shard * 64;
+#pragma omp parallel
+  {
+    // bulk zero in large per-thread stripes (one pass, page-fault
+    // friendly), then scatter only into occupied words
+#pragma omp for schedule(static)
+    for (int64_t c = 0; c < (n_bytes >> 20) + 1; ++c) {
+      const int64_t lo = c << 20;
+      const int64_t hi = std::min(n_bytes, lo + (int64_t(1) << 20));
+      if (lo < hi) std::memset(table + lo, 0, hi - lo);
+    }
+#pragma omp for schedule(static)
+    for (int64_t w = 0; w < words_per_shard; ++w) {
+      uint8_t* dst = table + w * 64;
+      for (int s = 0; s < n_shards; ++s) {
+        uint64_t bits = shard_bitmaps[s * words_per_shard + w];
+        while (bits) {
+          const int i = __builtin_ctzll(bits);
+          dst[i] |= static_cast<uint8_t>(1u << s);
+          bits &= bits - 1;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+int partition_beams(
+    const int32_t* beam_kmer, const int32_t* beam_win,
+    const int64_t* beam_offs, int nq,
+    const uint8_t* mask_table, int n_shards,
+    int32_t** out_kmer, int32_t** out_win,
+    int64_t* out_offs /* n_shards*nq + 1 */) {
+  // pass 1: fetch each survivor's shard mask ONCE (stored for pass 2)
+  // and count per (query, shard)
+  const int64_t n_beam = beam_offs[nq];
+  std::vector<uint8_t> masks(std::max<int64_t>(n_beam, 1));
+  std::vector<int64_t> counts(static_cast<size_t>(nq) * n_shards, 0);
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int qi = 0; qi < nq; ++qi) {
+    int64_t* cnt = counts.data() + static_cast<size_t>(qi) * n_shards;
+    for (int64_t t = beam_offs[qi]; t < beam_offs[qi + 1]; ++t) {
+      const uint8_t m = mask_table[static_cast<uint32_t>(beam_kmer[t])];
+      masks[t] = m;
+      uint8_t bits = m;
+      while (bits) {
+        ++cnt[__builtin_ctz(bits)];
+        bits &= bits - 1;
+      }
+    }
+  }
+  int64_t total = 0;
+  out_offs[0] = 0;
+  for (int s = 0; s < n_shards; ++s)
+    for (int qi = 0; qi < nq; ++qi) {
+      total += counts[static_cast<size_t>(qi) * n_shards + s];
+      out_offs[static_cast<int64_t>(s) * nq + qi + 1] = total;
+    }
+  int32_t* km_out = new int32_t[std::max<int64_t>(total, 1)];
+  int32_t* wn_out = new int32_t[std::max<int64_t>(total, 1)];
+  // pass 2: fill from the stored masks (no table re-probes)
+#pragma omp parallel
+  {
+    std::vector<int64_t> cur(n_shards);
+#pragma omp for schedule(dynamic, 8)
+    for (int qi = 0; qi < nq; ++qi) {
+      for (int s = 0; s < n_shards; ++s)
+        cur[s] = out_offs[static_cast<int64_t>(s) * nq + qi];
+      for (int64_t t = beam_offs[qi]; t < beam_offs[qi + 1]; ++t) {
+        uint8_t bits = masks[t];
+        while (bits) {
+          const int s = __builtin_ctz(bits);
+          bits &= bits - 1;
+          km_out[cur[s]] = beam_kmer[t];
+          wn_out[cur[s]] = beam_win[t];
+          ++cur[s];
+        }
+      }
+    }
+  }
+  *out_kmer = km_out;
+  *out_win = wn_out;
   return 0;
 }
 

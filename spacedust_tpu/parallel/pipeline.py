@@ -42,33 +42,212 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
                       min_diag_score: int = 15,
                       comp_bias_correction: bool = True, mask: bool = True,
                       cov_thr: float = 0.0, cov_mode: int = 0,
-                      same_qt_db: bool = False
+                      same_qt_db: bool = False,
+                      sequential: bool = False,
+                      query_chunk: int = 8192
                       ) -> dict[int, list[PrefilterHit]]:
-    """Per-shard prefilter + reference-style split merge.
+    """Target-split prefilter with a CACHED per-query k-mer beam.
 
-    Each shard runs the full single-chip engine (native batch matcher)
-    against a shard-local index with no identity slot and no coverage
-    filter; the merge re-applies the global histogram threshold, the
-    identity slot, the --max-seqs cap, and the coverage filter in the
-    single-chip order (QueryMatcher.cpp:100-210 semantics).
+    The reference's target-split mode regenerates the per-query
+    similar-k-mer beam for every split (Prefiltering.cpp:662-723) —
+    the beam dominates on small shards, capping scaling.  Here the
+    split is restructured TPU-style: broadcast the tiny global state,
+    shard only the heavy state.
 
-    Shards run CONCURRENTLY (ThreadPoolExecutor around the GIL-free
-    native engine) — the in-process model of one engine per host; the
-    per-shard wall times land in sharded_prefilter.last_stats for the
-    scaling-efficiency accounting in bench.py.  Pool width is capped at
-    cpu_count/2 (each engine is itself OpenMP-parallel) so per-shard
-    walls stay meaningful on small hosts instead of measuring
-    oversubscription."""
+      1. each shard builds its local index (parallel; the postings are
+         the memory-heavy part and scale 1/n per device);
+      2. the 8 MB k-mer occupancy bitmaps are OR-ed into a GLOBAL
+         occupancy mask (on hardware: an all-reduce-OR over ICI/DCN —
+         8 MB, trivially replicable);
+      3. the beam is generated ONCE per query, pre-screened against the
+         global mask (~97% of generated k-mers hit nothing anywhere and
+         are dropped before any shard sees them);
+      4. every shard is probed with the cached, screened beam — the
+         per-shard probe cost now scales with the shard's postings, not
+         with the full beam;
+      5. per-query shard hit lists merge under the global histogram
+         re-threshold (Prefiltering::mergeTargetSplits semantics), then
+         identity slot / --max-seqs / coverage in single-chip order.
+
+    `sequential=True` is the out-of-core mode (--split-memory-limit):
+    shards are processed one at a time with at most one shard index in
+    memory (beam caching is skipped there — the unscreened beam would
+    itself break the memory budget).
+
+    Wall-time accounting lands in sharded_prefilter.last_stats:
+    index_s (per shard), beam_s, probe_s (per shard), merge_s.
+    """
     import os
     import time
     from concurrent.futures import ThreadPoolExecutor
+    from ..constants import X_INDEX
+    from ..native import (build_shard_mask_table, partition_beams,
+                          prefilter_generate_beams, prefilter_match_beams)
+    from .merge import merge_shard_hits
 
-    def one(args):
+    if sequential:
+        return _sharded_prefilter_rebuild(
+            query_db, target_db, shards, sensitivity=sensitivity,
+            max_seqs=max_seqs, min_diag_score=min_diag_score,
+            comp_bias_correction=comp_bias_correction, mask=mask,
+            cov_thr=cov_thr, cov_mode=cov_mode, same_qt_db=same_qt_db)
+
+    width = max(1, min(len(shards), (os.cpu_count() or 2) // 2))
+
+    # --- 1. per-shard engines (index build; concurrent) ---------------
+    def build(args):
         si, (s, e) = args
         t0 = time.perf_counter()
         # zero-copy view of the contiguous shard: with an mmapped SetDB
-        # only the shard actually touched becomes resident (true
-        # out-of-core; DBReader MMAP mode)
+        # only the shard actually touched becomes resident
+        eng = PrefilterEngine(query_db, target_db.subrange(s, e),
+                              sensitivity=sensitivity, max_seqs=max_seqs,
+                              min_diag_score=min_diag_score,
+                              same_qt_db=False,
+                              comp_bias_correction=comp_bias_correction,
+                              mask=mask, cov_thr=0.0, cov_mode=0)
+        return eng, time.perf_counter() - t0
+
+    with ThreadPoolExecutor(max_workers=width) as pool:
+        built = list(pool.map(build, enumerate(shards)))
+    engines = [b[0] for b in built]
+    index_s = [round(b[1], 3) for b in built]
+    e0 = engines[0]
+
+    # --- 2. global occupancy + shard mask table -----------------------
+    # (on hardware: all-gather the 8 MB per-shard bitmaps, then each
+    # host derives the union mask and the per-k-mer shard-bit table)
+    t0 = time.perf_counter()
+    shard_bitmaps = np.ascontiguousarray(
+        np.stack([eng.index.occupied for eng in engines]))
+    gbm = np.bitwise_or.reduce(shard_bitmaps, axis=0)
+    n_sh = len(shards)
+    mask_tables = [build_shard_mask_table(
+        np.ascontiguousarray(shard_bitmaps[g:g + 8]))
+        for g in range(0, n_sh, 8)]
+    bitmap_or_s = time.perf_counter() - t0
+
+    # --- 3+4. chunked beam generation + concurrent shard probes -------
+    qoffs_all = query_db.offsets
+    nq = query_db.size
+    beam_s = 0.0
+    probe_s = [0.0] * len(shards)
+    seed_sub = np.ascontiguousarray(e0.seed.sub_int, dtype=np.int32)
+    p_back = np.ascontiguousarray(e0.seed.p_back, dtype=np.float64)
+    ungapped_sub = np.ascontiguousarray(e0.ungapped.sub_int, dtype=np.int32)
+    sc3 = np.ascontiguousarray(e0.tables.scores, dtype=np.int16)
+    id3 = np.ascontiguousarray(e0.tables.idx, dtype=np.int16)
+    # chunk results: per shard, lists of compact hit arrays
+    acc_qk, acc_seq, acc_score, acc_diag, acc_arr = [], [], [], [], []
+    j_range = np.arange(max_seqs)
+
+    for cs in range(0, nq, query_chunk):
+        ce = min(cs + query_chunk, nq)
+        qdata = np.ascontiguousarray(
+            query_db.seq_data[qoffs_all[cs]:qoffs_all[ce]], dtype=np.uint8)
+        qoffs = np.ascontiguousarray(qoffs_all[cs:ce] - qoffs_all[cs],
+                                     dtype=np.int64)
+        qlens = np.ascontiguousarray(query_db.lengths[cs:ce],
+                                     dtype=np.int32)
+        t0 = time.perf_counter()
+        beam_kmer, beam_win, beam_offs, corr8 = prefilter_generate_beams(
+            qdata, qoffs, qlens, seed_sub, p_back, comp_bias_correction,
+            sc3, id3, gbm, X_INDEX, e0.kmer_thr, want_corr8=True)
+        # per-shard sub-beams: on hardware each query host ships every
+        # target-shard host only the beam k-mers its bitmap can match
+        ncq = ce - cs
+        parts = []       # (group base, pk, pw, poffs)
+        for gi, g in enumerate(range(0, n_sh, 8)):
+            pk, pw, poffs = partition_beams(
+                beam_kmer, beam_win, beam_offs, mask_tables[gi],
+                min(8, n_sh - g))
+            parts.append((g, pk, pw, poffs))
+        del beam_kmer, beam_win
+        beam_s += time.perf_counter() - t0
+
+        def probe(args):
+            si, eng = args
+            g, pk, pw, poffs = parts[si // 8]
+            li = si - g
+            t0 = time.perf_counter()
+            idx = eng.index
+            o_seq, o_score, o_diag, o_cnt, _ = prefilter_match_beams(
+                qdata, qoffs, qlens, seed_sub, p_back,
+                comp_bias_correction, pk, pw,
+                poffs[li * ncq:li * ncq + ncq + 1],
+                idx.hkeys, idx.hoff, idx.hcnt, None,
+                np.ascontiguousarray(idx.seq_ids, dtype=np.int32),
+                np.ascontiguousarray(idx.positions, dtype=np.int32),
+                np.ascontiguousarray(idx.t_data, dtype=np.uint8),
+                np.ascontiguousarray(idx.t_offsets, dtype=np.int64),
+                np.ascontiguousarray(eng._tlens, dtype=np.int32),
+                ungapped_sub, max_seqs, min_diag_score, eng._bin_count,
+                -1, 0.0, 0, corr8=corr8)
+            dt = time.perf_counter() - t0
+            # compact: (qk, global seq, score, diag, shard arrival)
+            cnt = o_cnt[:ncq]
+            m = j_range[None, :] < cnt[:, None]
+            qi_idx, j_idx = np.nonzero(m)
+            flat = qi_idx * max_seqs + j_idx
+            return (si, dt, (qi_idx + cs).astype(np.int64),
+                    o_seq[flat].astype(np.int64) + shards[si][0],
+                    o_score[flat].astype(np.int64),
+                    o_diag[flat].astype(np.int64),
+                    (si * max_seqs + j_idx).astype(np.int64))
+
+        with ThreadPoolExecutor(max_workers=width) as pool:
+            for si, dt, qk, sq, sc, dg, ar in pool.map(
+                    probe, enumerate(engines)):
+                probe_s[si] += dt
+                acc_qk.append(qk)
+                acc_seq.append(sq)
+                acc_score.append(sc)
+                acc_diag.append(dg)
+                acc_arr.append(ar)
+
+    # --- 5. vectorized global merge -----------------------------------
+    t0 = time.perf_counter()
+    out = merge_shard_hits(
+        np.concatenate(acc_qk) if acc_qk else np.empty(0, np.int64),
+        np.concatenate(acc_seq) if acc_seq else np.empty(0, np.int64),
+        np.concatenate(acc_score) if acc_score else np.empty(0, np.int64),
+        np.concatenate(acc_diag) if acc_diag else np.empty(0, np.int64),
+        np.concatenate(acc_arr) if acc_arr else np.empty(0, np.int64),
+        nq, query_db.lengths, target_db.lengths, max_seqs,
+        min_diag_score, cov_thr, cov_mode, same_qt_db)
+    merge_s = time.perf_counter() - t0
+    sharded_prefilter.last_stats = {
+        "index_s": index_s,
+        "bitmap_or_s": round(bitmap_or_s, 3),
+        "beam_s": round(beam_s, 3),
+        "probe_s": [round(t, 3) for t in probe_s],
+        "merge_s": round(merge_s, 3),
+    }
+    return out
+
+
+def _sharded_prefilter_rebuild(query_db: SetDB, target_db: SetDB,
+                               shards: list[tuple[int, int]],
+                               sensitivity: float = 5.7, max_seqs: int = 300,
+                               min_diag_score: int = 15,
+                               comp_bias_correction: bool = True,
+                               mask: bool = True,
+                               cov_thr: float = 0.0, cov_mode: int = 0,
+                               same_qt_db: bool = False
+                               ) -> dict[int, list[PrefilterHit]]:
+    """Out-of-core split (--split-memory-limit): shards processed
+    SEQUENTIALLY, one engine (one shard index) in memory at a time —
+    the reference's non-MPI sequential target split
+    (Prefiltering.cpp:662-723)."""
+    import time
+    from .merge import merge_shard_hits
+
+    acc_qk, acc_seq, acc_score, acc_diag, acc_arr = [], [], [], [], []
+    shard_s = []
+    nq = query_db.size
+    j_range = np.arange(max_seqs)
+    for si, (s, e) in enumerate(shards):
+        t0 = time.perf_counter()
         shard_db = target_db.subrange(s, e)
         eng = PrefilterEngine(query_db, shard_db, sensitivity=sensitivity,
                               max_seqs=max_seqs,
@@ -77,60 +256,31 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
                               comp_bias_correction=comp_bias_correction,
                               mask=mask, cov_thr=0.0, cov_mode=0)
         hits = eng.match_all()
-        out = {qk: [PrefilterHit(h.seq_id + s, h.score, h.diagonal)
-                    for h in hs] for qk, hs in hits.items()}
-        return out, time.perf_counter() - t0
-
-    width = max(1, min(len(shards), (os.cpu_count() or 2) // 2))
-    with ThreadPoolExecutor(max_workers=width) as pool:
-        results = list(pool.map(one, enumerate(shards)))
-    per_shard = [r[0] for r in results]
-    t_merge0 = __import__("time").perf_counter()
-
-    tlens = target_db.lengths
-    out: dict[int, list[PrefilterHit]] = {}
-    for qk in range(query_db.size):
-        merged: list[PrefilterHit] = []
-        for sh in per_shard:
-            merged.extend(sh.get(qk, []))
-        # global histogram threshold over clamped scores (mergeTargetSplits
-        # re-threshold; sub-floor bins cannot change the floored result)
-        clamped = np.fromiter((min(h.score, 255) for h in merged), np.int64,
-                              len(merged))
-        fake = np.zeros((len(merged), 3), dtype=np.int64)
-        if len(merged):
-            fake[:, 2] = clamped
-        thr = max(min_diag_score, _score_threshold(fake, max_seqs))
-        order = np.argsort(-clamped, kind="stable")
-        res: list[PrefilterHit] = []
-        if same_qt_db:
-            res.append(PrefilterHit(seq_id=qk, score=65535, diagonal=0))
-        for i in order:
-            if len(res) >= max_seqs:
-                break
-            h = merged[i]
-            if min(h.score, 255) >= thr and not (same_qt_db and h.seq_id == qk):
-                res.append(h)
-        if cov_thr > 0.0 and cov_mode in (0, 2, 5):
-            qlen = np.float32(query_db.lengths[qk])
-            kept = []
-            for h in res:
-                tlen = np.float32(tlens[h.seq_id])
-                if cov_mode == 0:
-                    ok = (qlen / tlen >= np.float32(cov_thr)
-                          and tlen / qlen >= np.float32(cov_thr))
-                elif cov_mode == 2:
-                    ok = tlen / qlen >= np.float32(cov_thr)
-                else:
-                    ok = (min(tlen, qlen) / max(tlen, qlen)
-                          >= np.float32(cov_thr))
-                if ok:
-                    kept.append(h)
-            res = kept
-        out[qk] = res
-    sharded_prefilter.last_stats = {
-        "shard_s": [round(r[1], 3) for r in results],
-        "merge_s": round(__import__("time").perf_counter() - t_merge0, 3),
+        for qk, hs in hits.items():
+            n = len(hs)
+            if n == 0:
+                continue
+            acc_qk.append(np.full(n, qk, np.int64))
+            acc_seq.append(np.fromiter((h.seq_id + s for h in hs),
+                                       np.int64, n))
+            acc_score.append(np.fromiter((h.score for h in hs), np.int64, n))
+            acc_diag.append(np.fromiter((h.diagonal for h in hs),
+                                        np.int64, n))
+            acc_arr.append(si * max_seqs + j_range[:n].astype(np.int64))
+        del eng
+        shard_s.append(round(time.perf_counter() - t0, 3))
+    t0 = time.perf_counter()
+    out = merge_shard_hits(
+        np.concatenate(acc_qk) if acc_qk else np.empty(0, np.int64),
+        np.concatenate(acc_seq) if acc_seq else np.empty(0, np.int64),
+        np.concatenate(acc_score) if acc_score else np.empty(0, np.int64),
+        np.concatenate(acc_diag) if acc_diag else np.empty(0, np.int64),
+        np.concatenate(acc_arr) if acc_arr else np.empty(0, np.int64),
+        nq, query_db.lengths, target_db.lengths, max_seqs,
+        min_diag_score, cov_thr, cov_mode, same_qt_db)
+    _sharded_prefilter_rebuild.last_stats = {
+        "shard_s": shard_s,
+        "merge_s": round(time.perf_counter() - t0, 3),
     }
     return out
 

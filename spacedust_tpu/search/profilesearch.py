@@ -338,7 +338,7 @@ def search_profile_target(query_db: SetDB, target_db: SetDB,
     # getAminoAcidDBSize for DBTYPE_HMM_PROFILE = dataSize/25 - size
     # (DBReader.cpp:589-597); dataSize counts each entry's NUL, so the
     # exact value is total_len + n//25 - n, not the plain length sum
-    n_p = len(cdb.rep_keys)
+    n_p = par.n_profiles_override or len(cdb.rep_keys)
     profile_res = (par.profile_res_override
                    or int(sum(cdb.pssms[r].shape[0] for r in cdb.rep_keys))
                    + n_p // 25 - n_p)

@@ -190,6 +190,11 @@ def clusterdb_from_reference(base: str | Path,
         ap = np.zeros((len(arr), 21), dtype=np.int8)
         ap[:, :20] = np.trunc(pssm.astype(np.float64) / 4).astype(np.int8)
         aln_profiles[int(k)] = ap
+        # byte 20 of each 25-byte position stores the (possibly
+        # tantan-masked) query residues (Sequence.cpp PROFILE_AA_SIZE);
+        # identity-parity seqId counting must use these, not the
+        # unmasked gene sequence
+        query_seqs[int(k)] = arr[:, 20].copy()
         consensus[int(k)] = arr[:, 21].copy()
     aln_db = FlatDB.open(base + "_clu_aln")
     clu_aln = {}

@@ -258,7 +258,7 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
             max_seqs=par.max_seqs,
             comp_bias_correction=par.comp_bias_correction, mask=par.mask,
             cov_thr=par.cov_thr, cov_mode=par.cov_mode,
-            same_qt_db=same_qt_db)
+            same_qt_db=same_qt_db, sequential=True)
         candidates = {qk: [h.seq_id for h in hs] for qk, hs in hits.items()}
         timings["prefilter"] = time.time() - t0
 

@@ -67,6 +67,15 @@ def test_structure_search_self(small_db):
     some = [r for qk in range(small_db.size) for r in recs[qk]]
     assert all(r.evalue <= 10.0 for r in some)
     assert all(r.backtrace for r in some)
+    # E-value calibration guard (ADVICE r3): the pinned Gumbel K must
+    # keep self-hit E-values decisively significant — a K drifting by
+    # orders of magnitude would satisfy the 568 count (not monotone in
+    # K) while miscalibrating every per-hit E-value downstream
+    for qk in range(small_db.size):
+        self_hits = [r for r in recs[qk]
+                     if r.tkey == qk and r.seq_id == 1.0]
+        assert self_hits and all(r.evalue < 1e-10 for r in self_hits
+                                 if small_db.lengths[qk] >= 100)
 
 
 def test_clustersearch_search_mode_2(small_db):
@@ -95,6 +104,15 @@ def test_structure_anchor_artifact():
     # well-formed: every hit line has the 12 summarizeresults columns
     for ln in hits[:50]:
         assert len(ln.split("\t")) == 12
+    # second-threshold anchors (ADVICE r3: K must not be overfit to the
+    # single 568 scalar): the per-hit E-value DISTRIBUTION is pinned too
+    # — hits this deep into the homologous regime must stay strongly
+    # significant, and the strong-hit counts at two further thresholds
+    # are regression-pinned
+    evals = [float(ln.split("\t")[4]) for ln in hits]
+    assert max(evals) < 1e-5
+    assert sum(1 for e in evals if e < 1e-20) == 545
+    assert sum(1 for e in evals if e < 1e-10) == 564
 
 
 @pytest.mark.skipif(not os.environ.get("SPACEDUST_RUN_STRUCT_E2E"),
