@@ -66,6 +66,16 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cluster-db",
                    help="precomputed clusterdb dir of the target "
                         "(default <target_db>_clu; built if absent)")
+    p.add_argument("--multihost", type=int, default=0,
+                   help="N>1: run the search stage as N query-slice "
+                        "worker processes over a shared tmp dir (the "
+                        "reference's MPI/$RUNNER analog; "
+                        "parallel/multihost.py). Requires "
+                        "query_db == target_db. On a real pod, launch "
+                        "workers via the cluster runner instead with "
+                        "SPACEDUST_{COORDINATOR,NUM_PROCS,PROC_ID}.")
+    p.add_argument("--multihost-local-devices", type=int, default=1,
+                   help="virtual/real devices per multihost worker")
 
 
 def cmd_createsetdb(argv: list[str]) -> int:
@@ -112,6 +122,22 @@ def cmd_clustersearch(argv: list[str]) -> int:
         split_memory_limit=a.split_memory_limit,
         profile_cluster_search=a.profile_cluster_search,
         search_mode=a.search_mode)
+    if a.multihost and a.multihost > 1:
+        if a.target_db != a.query_db:
+            p.error("--multihost currently requires query_db == target_db")
+        from .parallel.multihost import run_multihost
+        t0 = time.time()
+        run_multihost(a.query_db, a.output, a.multihost, params,
+                      tmp_dir=a.tmp_dir,
+                      local_devices=a.multihost_local_devices)
+        tsv = open(a.output).read()
+        n_hits = sum(1 for ln in tsv.splitlines() if ln.startswith(">"))
+        n_clusters = sum(1 for ln in tsv.splitlines()
+                         if ln.startswith("#"))
+        print(f"clustersearch[multihost x{a.multihost}]: {n_clusters} "
+              f"clusters / {n_hits} hits in {time.time() - t0:.1f}s "
+              f"-> {a.output}")
+        return 0
     cdb = None
     if a.profile_cluster_search:
         from .workflow.clusterdb import cluster_db_cached

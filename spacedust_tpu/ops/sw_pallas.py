@@ -68,6 +68,16 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
     ge = jnp.asarray(gap_extend, dtype)
     ge_i = (ge * iota_q.astype(dtype))
 
+    # int16 on current hardware: v5e's VPU packs two i16 per 32-bit lane
+    # (vector<8x128x2xi16>) but exposes no sub-lane integer ALU beyond
+    # add/sub — Mosaic rejects vector i16 arith.maxsi ("failed to
+    # legalize"), arith.cmpi ("Target does not support this
+    # comparison"), AND arith.shrsi (so even a compare-free
+    # sign-mask max `a - ((a-b) & ((a-b) >> 15))` cannot lower).  The
+    # int16 variant therefore runs only in interpret mode / on future
+    # targets; there is also no 2x-lane win to be had on v5e itself.
+    vmax = jnp.maximum
+
     def blk_step(jb, carry):
         # 8-column sub-block with a provably-aligned start; columns
         # unrolled (also amortizes loop bookkeeping)
@@ -86,19 +96,19 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
             # variant: a NEG mask would overflow diag + s.)
             s_col = s_blk[:, k, :].astype(dtype)
             diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
-            E_new = jnp.maximum(E - ge, H - go)
-            Hbase = jnp.maximum(jnp.maximum(diag + s_col, 0), E_new)
+            E_new = vmax(E - ge, H - go)
+            Hbase = vmax(vmax(diag + s_col, jnp.asarray(0, dtype)), E_new)
             # F via log-depth running max of (Hbase + ge*i) shifted once
             x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
                         constant_values=neg)
             shift = 1
             while shift < Lq:
-                x = jnp.maximum(x, jnp.pad(x[:, :-shift],
-                                           ((0, 0), (shift, 0)),
-                                           constant_values=neg))
+                x = vmax(x, jnp.pad(x[:, :-shift],
+                                    ((0, 0), (shift, 0)),
+                                    constant_values=neg))
                 shift *= 2
             F = x - go - (ge_i - ge)
-            H_new = jnp.where(row_valid, jnp.maximum(Hbase, F),
+            H_new = jnp.where(row_valid, vmax(Hbase, F),
                               jnp.asarray(0, dtype))
 
             col_valid = (col < tlens)             # (BT, 1)

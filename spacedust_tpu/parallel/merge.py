@@ -19,28 +19,31 @@ from ..search.prefilter import PrefilterHit
 
 
 def merge_shard_hits(qk: np.ndarray, seq: np.ndarray, score: np.ndarray,
-                     diag: np.ndarray, arrival: np.ndarray, nq: int,
+                     diag: np.ndarray, arrival: np.ndarray,
+                     q_lo: int, q_hi: int,
                      qlens: np.ndarray, tlens: np.ndarray, max_seqs: int,
                      min_diag_score: int, cov_thr: float, cov_mode: int,
                      same_qt_db: bool) -> dict[int, list[PrefilterHit]]:
-    """Merge flat per-shard hit arrays into per-query capped hit lists.
+    """Merge flat per-shard hit arrays into per-query capped hit lists
+    for the query-key range [q_lo, q_hi).
 
     qk/seq/score/diag/arrival: parallel int64 arrays over every shard
     hit; `arrival` orders hits of one query as the shard-concatenated
     stream (shard-major, emit order within shard).
     """
-    out: dict[int, list[PrefilterHit]] = {q: [] for q in range(nq)}
+    out: dict[int, list[PrefilterHit]] = {q: [] for q in range(q_lo, q_hi)}
     if same_qt_db:
-        for q in range(nq):
+        for q in range(q_lo, q_hi):
             out[q].append(PrefilterHit(seq_id=q, score=65535, diagonal=0))
     if len(qk) == 0:
         return out
+    nq = q_hi - q_lo
 
     clamped = np.minimum(score, 255)
 
     # --- per-query histogram threshold (computeScoreThreshold) --------
     hist = np.zeros((nq, 256), dtype=np.int64)
-    np.add.at(hist, (qk, np.clip(clamped, 0, 255)), 1)
+    np.add.at(hist, (qk - q_lo, np.clip(clamped, 0, 255)), 1)
     # rc[q, t] = number of hits with clamped score >= t
     rc = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
     ok = rc[:, 1:] >= max_seqs                      # columns t = 1..255
@@ -52,7 +55,7 @@ def merge_shard_hits(qk: np.ndarray, seq: np.ndarray, score: np.ndarray,
     # --- (score desc, arrival) order with the --max-seqs cap ----------
     order = np.lexsort((arrival, -clamped, qk))
     o_qk = qk[order]
-    o_elig = (clamped[order] >= thr[o_qk])
+    o_elig = (clamped[order] >= thr[o_qk - q_lo])
     if same_qt_db:
         o_elig &= seq[order] != o_qk
     cap = max_seqs - (1 if same_qt_db else 0)
@@ -89,9 +92,9 @@ def merge_shard_hits(qk: np.ndarray, seq: np.ndarray, score: np.ndarray,
         k_diag = k_diag[covok]
 
     # --- materialize per-query lists ----------------------------------
-    bounds = np.searchsorted(k_qk, np.arange(nq + 1))
-    for q in range(nq):
-        s, e = int(bounds[q]), int(bounds[q + 1])
+    bounds = np.searchsorted(k_qk, np.arange(q_lo, q_hi + 1))
+    for q in range(q_lo, q_hi):
+        s, e = int(bounds[q - q_lo]), int(bounds[q - q_lo + 1])
         if s == e:
             continue
         lst = out[q]

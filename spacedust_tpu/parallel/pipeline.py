@@ -44,7 +44,8 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
                       cov_thr: float = 0.0, cov_mode: int = 0,
                       same_qt_db: bool = False,
                       sequential: bool = False,
-                      query_chunk: int = 8192
+                      query_chunk: int = 8192,
+                      qrange: tuple[int, int] | None = None
                       ) -> dict[int, list[PrefilterHit]]:
     """Target-split prefilter with a CACHED per-query k-mer beam.
 
@@ -129,7 +130,7 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
 
     # --- 3+4. chunked beam generation + concurrent shard probes -------
     qoffs_all = query_db.offsets
-    nq = query_db.size
+    q_lo, q_hi = qrange if qrange is not None else (0, query_db.size)
     beam_s = 0.0
     probe_s = [0.0] * len(shards)
     seed_sub = np.ascontiguousarray(e0.seed.sub_int, dtype=np.int32)
@@ -141,8 +142,8 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
     acc_qk, acc_seq, acc_score, acc_diag, acc_arr = [], [], [], [], []
     j_range = np.arange(max_seqs)
 
-    for cs in range(0, nq, query_chunk):
-        ce = min(cs + query_chunk, nq)
+    for cs in range(q_lo, q_hi, query_chunk):
+        ce = min(cs + query_chunk, q_hi)
         qdata = np.ascontiguousarray(
             query_db.seq_data[qoffs_all[cs]:qoffs_all[ce]], dtype=np.uint8)
         qoffs = np.ascontiguousarray(qoffs_all[cs:ce] - qoffs_all[cs],
@@ -213,7 +214,7 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
         np.concatenate(acc_score) if acc_score else np.empty(0, np.int64),
         np.concatenate(acc_diag) if acc_diag else np.empty(0, np.int64),
         np.concatenate(acc_arr) if acc_arr else np.empty(0, np.int64),
-        nq, query_db.lengths, target_db.lengths, max_seqs,
+        q_lo, q_hi, query_db.lengths, target_db.lengths, max_seqs,
         min_diag_score, cov_thr, cov_mode, same_qt_db)
     merge_s = time.perf_counter() - t0
     sharded_prefilter.last_stats = {
@@ -276,7 +277,7 @@ def _sharded_prefilter_rebuild(query_db: SetDB, target_db: SetDB,
         np.concatenate(acc_score) if acc_score else np.empty(0, np.int64),
         np.concatenate(acc_diag) if acc_diag else np.empty(0, np.int64),
         np.concatenate(acc_arr) if acc_arr else np.empty(0, np.int64),
-        nq, query_db.lengths, target_db.lengths, max_seqs,
+        0, nq, query_db.lengths, target_db.lengths, max_seqs,
         min_diag_score, cov_thr, cov_mode, same_qt_db)
     _sharded_prefilter_rebuild.last_stats = {
         "shard_s": shard_s,
@@ -402,31 +403,54 @@ class ShardedAlignmentEngine(AlignmentEngine):
     def _run_forward(self, pairs):
         if not pairs:
             return []
-        n = len(pairs)
-        qk = np.fromiter((p[0] for p in pairs), np.int64, n)
-        tk = np.fromiter((p[1] for p in pairs), np.int64, n)
-        ql = self.qdb.lengths[qk].astype(np.int32)
-        tl = self.tdb.lengths[tk].astype(np.int32)
-        term = np.zeros(n, np.int32)
-        res = self._run_grid_jobs(qk, tk, ql, tl, term, reverse=False)
-        return [(r[0], r[2], r[1]) for r in res]  # (score, q_end, t_end)
+        qlens_all, tlens_all = self.qdb.lengths, self.tdb.lengths
+        dev_idx, host_idx = self._split_device_eligible(
+            [max(int(qlens_all[p[0]]), int(tlens_all[p[1]]))
+             for p in pairs])
+        out = [None] * len(pairs)
+        if dev_idx:
+            sub = [pairs[i] for i in dev_idx]
+            n = len(sub)
+            qk = np.fromiter((p[0] for p in sub), np.int64, n)
+            tk = np.fromiter((p[1] for p in sub), np.int64, n)
+            ql = qlens_all[qk].astype(np.int32)
+            tl = tlens_all[tk].astype(np.int32)
+            term = np.zeros(n, np.int32)
+            res = self._run_grid_jobs(qk, tk, ql, tl, term, reverse=False)
+            for i, r in zip(dev_idx, res):
+                out[i] = (r[0], r[2], r[1])   # (score, q_end, t_end)
+        if host_idx:
+            for i, r in zip(host_idx, self._run_forward_host(
+                    [pairs[i] for i in host_idx])):
+                out[i] = r
+        return out
 
     def _run_reverse(self, survivors):
         if not survivors:
             return []
-        n = len(survivors)
-        qk = np.fromiter((s[0] for s in survivors), np.int64, n)
-        tk = np.fromiter((s[1] for s in survivors), np.int64, n)
-        term = np.fromiter((s[2] for s in survivors), np.int32, n)
-        ql = np.fromiter((s[3] + 1 for s in survivors), np.int32, n)
-        tl = np.fromiter((s[4] + 1 for s in survivors), np.int32, n)
-        res = self._run_grid_jobs(qk, tk, ql, tl, term, reverse=True)
-        out = []
-        for (qs, ts), r in zip(((s[3], s[4]) for s in survivors), res):
-            _score, fj, fi, found = r
-            if not found:
-                raise RuntimeError("forward/backward SW scores differ")
-            out.append((qs - fi, ts - fj))
+        dev_idx, host_idx = self._split_device_eligible(
+            [max(s[3] + 1, s[4] + 1) for s in survivors])
+        out = [None] * len(survivors)
+        if dev_idx:
+            sub = [survivors[i] for i in dev_idx]
+            n = len(sub)
+            qk = np.fromiter((s[0] for s in sub), np.int64, n)
+            tk = np.fromiter((s[1] for s in sub), np.int64, n)
+            term = np.fromiter((s[2] for s in sub), np.int32, n)
+            ql = np.fromiter((s[3] + 1 for s in sub), np.int32, n)
+            tl = np.fromiter((s[4] + 1 for s in sub), np.int32, n)
+            res = self._run_grid_jobs(qk, tk, ql, tl, term, reverse=True)
+            for i, ((qs, ts), r) in zip(dev_idx,
+                                        zip(((s[3], s[4]) for s in sub),
+                                            res)):
+                _score, fj, fi, found = r
+                if not found:
+                    raise RuntimeError("forward/backward SW scores differ")
+                out[i] = (qs - fi, ts - fj)
+        if host_idx:
+            for i, r in zip(host_idx, self._run_reverse_host(
+                    [survivors[i] for i in host_idx])):
+                out[i] = r
         return out
 
 

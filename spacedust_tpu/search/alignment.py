@@ -576,10 +576,11 @@ class AlignmentEngine:
             try:
                 dev = self._device_db()
                 if dev is not None:
-                    from ..ops.sw_engine import LADDER, bucket_len
+                    from ..ops.sw_engine import (LADDER, bucket_len,
+                                                 device_max_len)
                     max_len = int(max(self.qdb.lengths.max(),
                                       self.tdb.lengths.max()))
-                    top = bucket_len(max_len)
+                    top = bucket_len(min(max_len, device_max_len()))
                     rungs = [r for r in LADDER if r <= top]
                     dev.warm(rungs, self.par.gap_open, self.par.gap_extend)
             except Exception:     # warm failures surface on the real call
@@ -631,9 +632,10 @@ class AlignmentEngine:
                                       qdb.offsets, dtype=np.int64))
         return self._dev
 
-    def _forward_jobs(self, pairs: list[tuple[int, int]], base: int):
+    def _forward_jobs(self, pairs: list[tuple[int, int]], base: int,
+                      positions: np.ndarray | None = None):
         """Bucketed forward jobs for a pair fragment; positions are
-        global pair indices (base + local)."""
+        global pair indices (base + local, or the explicit array)."""
         from ..ops.sw_engine import bucket_len
         qlens_all = self.qdb.lengths
         tlens_all = self.tdb.lengths
@@ -651,9 +653,10 @@ class AlignmentEngine:
         jobs = []
         for key, idxs in sorted(buckets.items()):
             sel = np.asarray(idxs, dtype=np.int64)
+            pos = (positions[sel] if positions is not None else sel + base)
             jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
                          self._toffs32[tk[sel]], tl[sel],
-                         np.full(len(sel), -1, np.int32), sel + base))
+                         np.full(len(sel), -1, np.int32), pos))
         return jobs
 
     @staticmethod
@@ -662,21 +665,45 @@ class AlignmentEngine:
             for bi, pidx in enumerate(pos):
                 out[pidx] = (int(score[bi]), int(q_end[bi]), int(t_end[bi]))
 
+    def _split_device_eligible(self, lens_of):
+        """Partition indices by device eligibility: pairs longer than the
+        compiled ladder top go to the unbounded host path (the resident-
+        array gather would silently truncate them otherwise)."""
+        from ..ops.sw_engine import device_max_len
+        cap = device_max_len()
+        dev_idx, host_idx = [], []
+        for i, m in enumerate(lens_of):
+            (dev_idx if m <= cap else host_idx).append(i)
+        return dev_idx, host_idx
+
     def _run_forward(self, pairs: list[tuple[int, int]]
                      ) -> list[tuple[int, int, int]]:
         if not pairs:
             return []
         dev = self._device_db()
         if dev is not None:
-            jobs = self._forward_jobs(pairs, 0)
+            qlens_all, tlens_all = self.qdb.lengths, self.tdb.lengths
+            dev_idx, host_idx = self._split_device_eligible(
+                [max(int(qlens_all[qk]), int(tlens_all[tk]))
+                 for qk, tk in pairs])
             out: list[tuple[int, int, int] | None] = [None] * len(pairs)
-            self._decode_forward(
-                dev.run_buckets(jobs, self.par.gap_open,
-                                self.par.gap_extend, reverse=False), out)
+            if dev_idx:
+                jobs = self._forward_jobs([pairs[i] for i in dev_idx], 0)
+                sub: list = [None] * len(dev_idx)
+                self._decode_forward(
+                    dev.run_buckets(jobs, self.par.gap_open,
+                                    self.par.gap_extend, reverse=False), sub)
+                for i, r in zip(dev_idx, sub):
+                    out[i] = r
+            if host_idx:
+                for i, r in zip(host_idx, self._run_forward_host(
+                        [pairs[i] for i in host_idx])):
+                    out[i] = r
             return out  # type: ignore[return-value]
         return self._run_forward_host(pairs)
 
-    def _reverse_jobs(self, survivors, base: int):
+    def _reverse_jobs(self, survivors, base: int,
+                      positions: np.ndarray | None = None):
         """Bucketed reverse jobs for a survivor fragment (reversed
         prefixes [0..q_end] x [0..t_end], terminate = forward score);
         positions are global survivor indices."""
@@ -694,9 +721,10 @@ class AlignmentEngine:
         jobs = []
         for key, idxs in sorted(buckets.items()):
             sel = np.asarray(idxs, dtype=np.int64)
+            pos = (positions[sel] if positions is not None else sel + base)
             jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
                          self._toffs32[tk[sel]], tl[sel],
-                         term[sel], sel + base))
+                         term[sel], pos))
         return jobs
 
     def _decode_reverse(self, collected, survivors, out) -> None:
@@ -714,12 +742,23 @@ class AlignmentEngine:
             return []
         dev = self._device_db()
         if dev is not None:
-            jobs = self._reverse_jobs(survivors, 0)
+            dev_idx, host_idx = self._split_device_eligible(
+                [max(s[3] + 1, s[4] + 1) for s in survivors])
             out: list[tuple[int, int] | None] = [None] * len(survivors)
-            self._decode_reverse(
-                dev.run_buckets(jobs, self.par.gap_open,
-                                self.par.gap_extend, reverse=True),
-                survivors, out)
+            if dev_idx:
+                sub_surv = [survivors[i] for i in dev_idx]
+                jobs = self._reverse_jobs(sub_surv, 0)
+                sub: list = [None] * len(dev_idx)
+                self._decode_reverse(
+                    dev.run_buckets(jobs, self.par.gap_open,
+                                    self.par.gap_extend, reverse=True),
+                    sub_surv, sub)
+                for i, r in zip(dev_idx, sub):
+                    out[i] = r
+            if host_idx:
+                for i, r in zip(host_idx, self._run_reverse_host(
+                        [survivors[i] for i in host_idx])):
+                    out[i] = r
             return out  # type: ignore[return-value]
         return self._run_reverse_host(survivors)
 
@@ -943,10 +982,11 @@ class _AlignStream:
         self._dev_checked = False
         # device pipeline state: queued forward fragments awaiting
         # absorption, global survivor list, dispatched reverse batches
-        self._fwd_queue: list[tuple[int, int, list]] = []
+        self._fwd_queue: list[tuple[int, int, list, list]] = []
         self._survivors: list = []
         self._surv_of_pair: dict[int, int] = {}
         self._rev_pending: list = []
+        self._host_starts: dict[int, tuple[int, int]] = {}
 
     def add(self, candidates: dict[int, list[int]]) -> None:
         eng = self.eng
@@ -963,29 +1003,68 @@ class _AlignStream:
             self._dev = eng._device_db() if base_fwd else None
             self._dev_checked = True
         if self._dev is not None:
-            jobs = eng._forward_jobs(frag, frag_start)
+            from ..ops.sw_engine import device_max_len
+            ql_all, tl_all = eng.qdb.lengths, eng.tdb.lengths
+            long_loc = [i for i, (qk, tk) in enumerate(frag)
+                        if max(int(ql_all[qk]), int(tl_all[tk]))
+                        > device_max_len()]
+            host_res: list = []
+            if long_loc:
+                # over-ladder pairs score on the unbounded host path
+                # (synchronously; such pairs are rare)
+                host_res = list(zip(
+                    (frag_start + i for i in long_loc),
+                    eng._run_forward_host([frag[i] for i in long_loc])))
+                long_set = set(long_loc)
+                dev_loc = [i for i in range(len(frag))
+                           if i not in long_set]
+            else:
+                dev_loc = range(len(frag))
+            pos = np.fromiter((frag_start + i for i in dev_loc), np.int64)
+            jobs = eng._forward_jobs([frag[i] for i in dev_loc], 0,
+                                     positions=pos)
             pend = self._dev.dispatch(jobs, eng.par.gap_open,
                                       eng.par.gap_extend, reverse=False)
-            self._fwd_queue.append((frag_start, len(self.pairs), pend))
+            self._fwd_queue.append((frag_start, len(self.pairs), pend,
+                                    host_res))
             # absorb older fragments (their device work overlapped this
             # fragment's prefilter): filter survivors, dispatch reverse
             while len(self._fwd_queue) > 1:
                 self._absorb(*self._fwd_queue.pop(0))
 
-    def _absorb(self, start: int, end: int, pend: list) -> None:
+    def _absorb(self, start: int, end: int, pend: list,
+                host_res: list) -> None:
         eng = self.eng
+        from ..ops.sw_engine import device_max_len
         frag_pairs = self.pairs[start:end]
         fwd: list = [None] * len(self.pairs)
         eng._decode_forward(self._dev.collect(pend), fwd)
+        for pidx, r in host_res:
+            fwd[pidx] = r
         surv, sop = eng._survivor_filter(frag_pairs, fwd[start:end], start)
         base = len(self._survivors)
         self._surv_of_pair.update(
             {pi: base + si for pi, si in sop.items()})
         self._survivors.extend(surv)
         if surv:
-            jobs = eng._reverse_jobs(surv, base)
-            self._rev_pending += self._dev.dispatch(
-                jobs, eng.par.gap_open, eng.par.gap_extend, reverse=True)
+            long_loc = [i for i, s in enumerate(surv)
+                        if max(s[3] + 1, s[4] + 1) > device_max_len()]
+            if long_loc:
+                for i, st in zip(long_loc, eng._run_reverse_host(
+                        [surv[i] for i in long_loc])):
+                    self._host_starts[base + i] = st
+                long_set = set(long_loc)
+                dev_loc = [i for i in range(len(surv))
+                           if i not in long_set]
+            else:
+                dev_loc = list(range(len(surv)))
+            if dev_loc:
+                pos = np.fromiter((base + i for i in dev_loc), np.int64)
+                jobs = eng._reverse_jobs([surv[i] for i in dev_loc], 0,
+                                         positions=pos)
+                self._rev_pending += self._dev.dispatch(
+                    jobs, eng.par.gap_open, eng.par.gap_extend,
+                    reverse=True)
 
     def finish(self) -> dict[int, list[AlnRecord]]:
         eng = self.eng
@@ -997,5 +1076,7 @@ class _AlignStream:
         starts: list = [None] * len(self._survivors)
         eng._decode_reverse(self._dev.collect(self._rev_pending),
                             self._survivors, starts)
+        for sidx, st in self._host_starts.items():
+            starts[sidx] = st
         recs = eng._finish_pairs(self._survivors, starts)
         return eng._accept_stage(self.items, self._surv_of_pair, recs)
