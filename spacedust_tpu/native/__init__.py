@@ -100,6 +100,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,       # nsym, do_bias
             ctypes.POINTER(ctypes.c_int16),   # sc3
             ctypes.POINTER(ctypes.c_int16),   # id3
+            ctypes.POINTER(ctypes.c_int16),   # sc2 (nullable for k%3==0)
+            ctypes.POINTER(ctypes.c_int16),   # id2
+            ctypes.c_int,                     # kmer_size
+            ctypes.POINTER(ctypes.c_int32),   # spaced pattern
             ctypes.POINTER(ctypes.c_int32),   # hash keys
             ctypes.POINTER(ctypes.c_int32),   # hash range starts
             ctypes.POINTER(ctypes.c_int32),   # hash range counts
@@ -134,6 +138,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,       # nsym, do_bias
             ctypes.POINTER(ctypes.c_int16),   # sc3
             ctypes.POINTER(ctypes.c_int16),   # id3
+            ctypes.POINTER(ctypes.c_int16),   # sc2 (nullable for k%3==0)
+            ctypes.POINTER(ctypes.c_int16),   # id2
+            ctypes.c_int,                     # kmer_size
+            ctypes.POINTER(ctypes.c_int32),   # spaced pattern
             ctypes.POINTER(ctypes.c_uint64),  # global bitmap (nullable)
             ctypes.c_int, ctypes.c_int,       # x_index, kmer_thr
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # out kmer
@@ -218,6 +226,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
         lib.build_kmer_hash.restype = ctypes.c_int
@@ -345,16 +354,22 @@ def comp_bias_batch(qdata, qoffs, qlens, sub_int, p_back):
 
 def build_kmer_index(tdata: np.ndarray, toffs: np.ndarray,
                      tlens: np.ndarray, diag_scores: np.ndarray,
-                     x_index: int, kmer_thr: int):
+                     x_index: int, kmer_thr: int,
+                     kmer_size: int = 6, pattern: np.ndarray | None = None):
     """Parallel k-mer index build (IndexBuilder::fillDatabase analog).
     Returns (kmers, seq_ids, positions) in the exact (kmer, seq, pos)
     posting order of the host lexsort build."""
     lib = get_lib()
+    if pattern is None:
+        from ..search.prefilter import KMER_PATTERNS
+        pattern = KMER_PATTERNS[kmer_size]
+    pattern = np.ascontiguousarray(pattern, dtype=np.int32)
+    span = int(pattern[-1]) + 1
     tdata = np.ascontiguousarray(tdata, dtype=np.uint8)
     toffs = np.ascontiguousarray(toffs, dtype=np.int64)
     tlens = np.ascontiguousarray(tlens, dtype=np.int32)
     diag_scores = np.ascontiguousarray(diag_scores, dtype=np.int32)
-    cap = int(np.maximum(tlens.astype(np.int64) - 9, 0).sum())
+    cap = int(np.maximum(tlens.astype(np.int64) - (span - 1), 0).sum())
     out_kmer = np.empty(max(cap, 1), dtype=np.int32)
     out_seq = np.empty(max(cap, 1), dtype=np.int32)
     out_pos = np.empty(max(cap, 1), dtype=np.int32)
@@ -363,6 +378,7 @@ def build_kmer_index(tdata: np.ndarray, toffs: np.ndarray,
         _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
         _ptr(tlens, ctypes.c_int32), len(tlens),
         _ptr(diag_scores, ctypes.c_int32), int(x_index), int(kmer_thr),
+        int(kmer_size), _ptr(pattern, ctypes.c_int32),
         _ptr(out_kmer, ctypes.c_int32), _ptr(out_seq, ctypes.c_int32),
         _ptr(out_pos, ctypes.c_int32), ctypes.byref(n_out))
     if rc != 0:
@@ -396,12 +412,21 @@ def build_kmer_hash(post_kmer: np.ndarray, n_bits: int = 20 ** 6):
     return hkeys, hoff, hcnt, bitmap
 
 
+def _pattern_arr(pattern, kmer_size):
+    if pattern is None:
+        from ..search.prefilter import KMER_PATTERNS
+        pattern = KMER_PATTERNS[kmer_size]
+    return np.ascontiguousarray(pattern, dtype=np.int32)
+
+
 def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
                           sc3, id3, hkeys, hoff, hcnt, occupied,
                           post_seq, post_pos,
                           tdata, toffs, tlens, ungapped_sub, x_index,
                           kmer_thr, max_seqs, min_diag_score, bin_count,
-                          identity_base, cov_thr, cov_mode):
+                          identity_base, cov_thr, cov_mode,
+                          kmer_size: int = 6, sc2=None, id2=None,
+                          pattern=None):
     """OpenMP k-mer prefilter over a query batch (see prefilter_engine.cpp).
 
     identity_base >= 0: same-DB search, batch row qi is target key
@@ -425,6 +450,12 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         _ptr(seed_sub, ctypes.c_int32), _ptr(p_back, ctypes.c_double),
         seed_sub.shape[0], int(do_bias),
         _ptr(sc3, ctypes.c_int16), _ptr(id3, ctypes.c_int16),
+        (_ptr(sc2, ctypes.c_int16) if sc2 is not None
+         else ctypes.POINTER(ctypes.c_int16)()),
+        (_ptr(id2, ctypes.c_int16) if id2 is not None
+         else ctypes.POINTER(ctypes.c_int16)()),
+        int(kmer_size), _ptr(_pattern_arr(pattern, kmer_size),
+                             ctypes.c_int32),
         _ptr(hkeys, ctypes.c_int32), _ptr(hoff, ctypes.c_int32),
         _ptr(hcnt, ctypes.c_int32), ctypes.c_int64(len(hkeys)),
         _ptr(occupied, ctypes.c_uint64),
@@ -444,7 +475,9 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
 
 def prefilter_generate_beams(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
                              sc3, id3, global_bitmap, x_index, kmer_thr,
-                             want_corr8: bool = False):
+                             want_corr8: bool = False,
+                             kmer_size: int = 6, sc2=None, id2=None,
+                             pattern=None):
     """Per-query similar-k-mer beams in exact generation order, screened
     against a global occupancy bitmap (None = keep all).  Returns
     (beam_kmer int32[N], beam_win int32[N], beam_offs int64[nq+1]) plus,
@@ -462,6 +495,12 @@ def prefilter_generate_beams(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         _ptr(seed_sub, ctypes.c_int32), _ptr(p_back, ctypes.c_double),
         seed_sub.shape[0], int(do_bias),
         _ptr(sc3, ctypes.c_int16), _ptr(id3, ctypes.c_int16),
+        (_ptr(sc2, ctypes.c_int16) if sc2 is not None
+         else ctypes.POINTER(ctypes.c_int16)()),
+        (_ptr(id2, ctypes.c_int16) if id2 is not None
+         else ctypes.POINTER(ctypes.c_int16)()),
+        int(kmer_size), _ptr(_pattern_arr(pattern, kmer_size),
+                             ctypes.c_int32),
         (_ptr(global_bitmap, ctypes.c_uint64) if global_bitmap is not None
          else ctypes.POINTER(ctypes.c_uint64)()),
         int(x_index), int(kmer_thr),

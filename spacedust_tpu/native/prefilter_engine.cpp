@@ -47,9 +47,95 @@ inline double prof_now() {
 namespace {
 
 constexpr int kPartPow = 8000;       // 20^3
-constexpr int kSpan = 10;            // spaced pattern span
-constexpr int kK = 6;
-constexpr int kPattern[kK] = {0, 1, 3, 5, 8, 9};
+
+// Part divide strategy (KmerGenerator::setDivideStrategy reversed,
+// KmerGenerator.cpp:41-88): k=6 -> [3,3], k=7 -> [2,2,3], k=8 -> [2,3,3].
+struct PartSpec {
+  const int16_t* sc;    // sorted score rows
+  const int16_t* id;    // matching part-k-mer indices
+  int rowsize;          // 8000 (3-mer) or 400 (2-mer)
+  int size;             // residues in this part
+  int64_t mult;         // 20^(residue offset)
+};
+
+inline int make_parts(int kmer_size, const int16_t* sc3, const int16_t* id3,
+                      const int16_t* sc2, const int16_t* id2,
+                      PartSpec* out) {
+  int sizes[4];
+  int n = 0;
+  const int n3 = kmer_size / 3;
+  if (kmer_size % 3 == 0) {
+    for (int i = 0; i < n3; ++i) sizes[n++] = 3;
+  } else if (kmer_size % 3 == 1) {
+    sizes[n++] = 2;
+    sizes[n++] = 2;
+    for (int i = 0; i < n3 - 1; ++i) sizes[n++] = 3;
+  } else {
+    sizes[n++] = 2;
+    for (int i = 0; i < n3; ++i) sizes[n++] = 3;
+  }
+  int64_t mult = 1;
+  for (int i = 0; i < n; ++i) {
+    out[i].size = sizes[i];
+    out[i].sc = sizes[i] == 3 ? sc3 : sc2;
+    out[i].id = sizes[i] == 3 ? id3 : id2;
+    out[i].rowsize = sizes[i] == 3 ? 8000 : 400;
+    out[i].mult = mult;
+    for (int j = 0; j < sizes[i]; ++j) mult *= 20;
+  }
+  return n;
+}
+
+// generateKmerList for one window with >2 parts (k=7/8): nested product
+// in part order with per-level possibleRest pruning — same order as the
+// reference's calculateArrayProduct chain.
+inline void generate_generic(const PartSpec* parts, int n_parts,
+                             const int r[], int thr,
+                             std::vector<int32_t>& out,
+                             std::vector<std::pair<int32_t, int64_t>>& a,
+                             std::vector<std::pair<int32_t, int64_t>>& b) {
+  out.clear();
+  int rows[4];
+  int col = 0;
+  for (int p = 0; p < n_parts; ++p) {
+    int row = 0, m = 1;
+    for (int j = 0; j < parts[p].size; ++j) {
+      row += r[col + j] * m;
+      m *= 20;
+    }
+    rows[p] = row;
+    col += parts[p].size;
+  }
+  int rest[5];
+  rest[n_parts - 1] = 0;
+  for (int p = n_parts - 1; p >= 1; --p)
+    rest[p - 1] = rest[p]
+        + parts[p].sc[static_cast<int64_t>(rows[p]) * parts[p].rowsize];
+  a.clear();
+  {
+    const PartSpec& P = parts[0];
+    const int16_t* sc = P.sc + static_cast<int64_t>(rows[0]) * P.rowsize;
+    const int16_t* id = P.id + static_cast<int64_t>(rows[0]) * P.rowsize;
+    const int cut = thr - rest[0];
+    for (int i = 0; i < P.rowsize && sc[i] >= cut; ++i)
+      a.emplace_back(sc[i], static_cast<int64_t>(id[i]) * P.mult);
+  }
+  for (int lvl = 1; lvl < n_parts; ++lvl) {
+    const PartSpec& P = parts[lvl];
+    const int16_t* sc = P.sc + static_cast<int64_t>(rows[lvl]) * P.rowsize;
+    const int16_t* id = P.id + static_cast<int64_t>(rows[lvl]) * P.rowsize;
+    b.clear();
+    for (const auto& pr : a) {
+      const int cut = thr - pr.first - rest[lvl];
+      for (int j = 0; j < P.rowsize && sc[j] >= cut; ++j)
+        b.emplace_back(pr.first + sc[j],
+                       pr.second + static_cast<int64_t>(id[j]) * P.mult);
+    }
+    a.swap(b);
+  }
+  out.reserve(a.size());
+  for (const auto& pr : a) out.push_back(static_cast<int32_t>(pr.second));
+}
 
 struct Match {
   int32_t seq;
@@ -348,8 +434,10 @@ int prefilter_match_batch(
     // queries (tokens, concatenated); composition bias computed in-engine
     const uint8_t* qdata, const int64_t* qoffs, const int32_t* qlens, int nq,
     const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
-    // seed tables
+    // seed tables (sc2/id2: 2-mer tables, required only for k % 3 != 0)
     const int16_t* sc3, const int16_t* id3,
+    const int16_t* sc2, const int16_t* id2,
+    int kmer_size, const int32_t* pattern,
     // posting index: open-addressing hash over the ~2% occupied k-mers
     // (keys/off/cnt arrays, pow2 capacity) + 64M-bit occupancy bitmap.
     // A dense 20^6 offset table costs 256 MB of fresh page-faults per
@@ -371,6 +459,7 @@ int prefilter_match_batch(
     int32_t* out_seq, int32_t* out_score, int32_t* out_diag, int32_t* out_cnt,
     int64_t* total_raw_out) {
   const int bin_mask = bin_count - 1;
+  const int span = pattern[kmer_size - 1] + 1;
   int64_t total_raw = 0;
   const bool prof_on = getenv("SPACEDUST_PREF_PROFILE") != nullptr;
   double t_lookup = 0, t_group = 0, t_rescore = 0, t_emit = 0;
@@ -384,6 +473,9 @@ int prefilter_match_batch(
     std::vector<Match>& matches = S.matches;
     std::vector<int32_t>& gen_kmers = S.gen_kmers;
     std::vector<float>& bias_buf = S.bias_buf;
+    PartSpec parts[4];
+    const int n_parts = make_parts(kmer_size, sc3, id3, sc2, id2, parts);
+    std::vector<std::pair<int32_t, int64_t>> gen_a, gen_b;
 
 #pragma omp for schedule(dynamic, 8)
     for (int qi = 0; qi < nq; ++qi) {
@@ -397,44 +489,52 @@ int prefilter_match_batch(
 
       // ---- per-window similar-k-mer generation + posting lookups ----
       double tp0 = prof_on ? prof_now() : 0;
-      const int nw = L - kSpan + 1;
+      const int nw = L - span + 1;
       for (int w = 0; w < nw; ++w) {
         // spaced k-mer residues; X excluded (Prefiltering.cpp:530-533)
-        int r[kK];
+        int r[8];
         bool ok = true;
-        for (int k = 0; k < kK; ++k) {
-          r[k] = q[w + kPattern[k]];
+        for (int k = 0; k < kmer_size; ++k) {
+          r[k] = q[w + pattern[k]];
           if (r[k] == x_index) { ok = false; }
         }
         if (!ok) continue;
         // f32 sequential bias sum, C double +/-0.5 trunc
         // (QueryMatcher.cpp:230-236)
         float b = 0.0f;
-        for (int k = 0; k < kK; ++k) b += bias[w + kPattern[k]];
+        for (int k = 0; k < kmer_size; ++k) b += bias[w + pattern[k]];
         double bd = static_cast<double>(b);
         int16_t biasv =
             static_cast<int16_t>(bd < 0.0 ? bd - 0.5 : bd + 0.5);
         int thr = kmer_thr - biasv;
         if (thr < 0) thr = 0;
 
-        const int part0 = r[0] + 20 * r[1] + 400 * r[2];
-        const int part1 = r[3] + 20 * r[4] + 400 * r[5];
-        const int16_t* s0 = sc3 + static_cast<int64_t>(part0) * kPartPow;
-        const int16_t* s1 = sc3 + static_cast<int64_t>(part1) * kPartPow;
-        const int16_t* i0 = id3 + static_cast<int64_t>(part0) * kPartPow;
-        const int16_t* i1 = id3 + static_cast<int64_t>(part1) * kPartPow;
-        const int best1 = s1[0];
-        const int n0 = count_ge(s0, thr - best1);
-        if (n0 == 0) continue;
+        if (kmer_size == 6) {
+          // 2x3-mer fast path (the common case; identical semantics to
+          // generate_generic, kept unrolled for the hot loop)
+          const int part0 = r[0] + 20 * r[1] + 400 * r[2];
+          const int part1 = r[3] + 20 * r[4] + 400 * r[5];
+          const int16_t* s0 = sc3 + static_cast<int64_t>(part0) * kPartPow;
+          const int16_t* s1 = sc3 + static_cast<int64_t>(part1) * kPartPow;
+          const int16_t* i0 = id3 + static_cast<int64_t>(part0) * kPartPow;
+          const int16_t* i1 = id3 + static_cast<int64_t>(part1) * kPartPow;
+          const int best1 = s1[0];
+          const int n0 = count_ge(s0, thr - best1);
+          if (n0 == 0) continue;
 
-        gen_kmers.clear();
-        for (int i = 0; i < n0; ++i) {
-          const int cut = thr - s0[i];
-          const int n1 = count_ge(s1, cut);
-          const int32_t base = i0[i];
-          for (int j = 0; j < n1; ++j) {
-            gen_kmers.push_back(base + static_cast<int32_t>(i1[j]) * kPartPow);
+          gen_kmers.clear();
+          for (int i = 0; i < n0; ++i) {
+            const int cut = thr - s0[i];
+            const int n1 = count_ge(s1, cut);
+            const int32_t base = i0[i];
+            for (int j = 0; j < n1; ++j) {
+              gen_kmers.push_back(base
+                                  + static_cast<int32_t>(i1[j]) * kPartPow);
+            }
           }
+        } else {
+          generate_generic(parts, n_parts, r, thr, gen_kmers, gen_a, gen_b);
+          if (gen_kmers.empty()) continue;
         }
 
         // posting lookups: the 8 MB occupancy bitmap screens the ~97%
@@ -506,14 +606,21 @@ int prefilter_generate_beams(
     const uint8_t* qdata, const int64_t* qoffs, const int32_t* qlens, int nq,
     const int32_t* seed_sub, const double* p_back, int nsym, int do_bias,
     const int16_t* sc3, const int16_t* id3,
+    const int16_t* sc2, const int16_t* id2,
+    int kmer_size, const int32_t* pattern,
     const uint64_t* global_bitmap,       // nullable: no screening
     int x_index, int kmer_thr,
     int32_t** out_kmer, int32_t** out_win, int64_t* out_offs /* nq+1 */,
     int8_t* out_corr8 /* nullable: len(qdata) rescore bias chars */) {
   std::vector<std::vector<int32_t>> bk(nq), bw(nq);
+  const int span = pattern[kmer_size - 1] + 1;
 #pragma omp parallel
   {
     std::vector<float> bias_buf;
+    PartSpec parts[4];
+    const int n_parts = make_parts(kmer_size, sc3, id3, sc2, id2, parts);
+    std::vector<std::pair<int32_t, int64_t>> gen_a, gen_b;
+    std::vector<int32_t> gen_kmers;
 #pragma omp for schedule(dynamic, 8)
     for (int qi = 0; qi < nq; ++qi) {
       const uint8_t* q = qdata + qoffs[qi];
@@ -533,37 +640,50 @@ int prefilter_generate_beams(
       }
       std::vector<int32_t>& okm = bk[qi];
       std::vector<int32_t>& own = bw[qi];
-      const int nw = L - kSpan + 1;
+      const int nw = L - span + 1;
       for (int w = 0; w < nw; ++w) {
-        int r[kK];
+        int r[8];
         bool ok = true;
-        for (int k = 0; k < kK; ++k) {
-          r[k] = q[w + kPattern[k]];
+        for (int k = 0; k < kmer_size; ++k) {
+          r[k] = q[w + pattern[k]];
           if (r[k] == x_index) { ok = false; }
         }
         if (!ok) continue;
         float b = 0.0f;
-        for (int k = 0; k < kK; ++k) b += bias[w + kPattern[k]];
+        for (int k = 0; k < kmer_size; ++k) b += bias[w + pattern[k]];
         double bd = static_cast<double>(b);
         int16_t biasv =
             static_cast<int16_t>(bd < 0.0 ? bd - 0.5 : bd + 0.5);
         int thr = kmer_thr - biasv;
         if (thr < 0) thr = 0;
 
-        const int part0 = r[0] + 20 * r[1] + 400 * r[2];
-        const int part1 = r[3] + 20 * r[4] + 400 * r[5];
-        const int16_t* s0 = sc3 + static_cast<int64_t>(part0) * kPartPow;
-        const int16_t* s1 = sc3 + static_cast<int64_t>(part1) * kPartPow;
-        const int16_t* i0 = id3 + static_cast<int64_t>(part0) * kPartPow;
-        const int16_t* i1 = id3 + static_cast<int64_t>(part1) * kPartPow;
-        const int best1 = s1[0];
-        const int n0 = count_ge(s0, thr - best1);
-        for (int i = 0; i < n0; ++i) {
-          const int cut = thr - s0[i];
-          const int n1 = count_ge(s1, cut);
-          const int32_t base = i0[i];
-          for (int j = 0; j < n1; ++j) {
-            const int32_t km = base + static_cast<int32_t>(i1[j]) * kPartPow;
+        if (kmer_size == 6) {
+          const int part0 = r[0] + 20 * r[1] + 400 * r[2];
+          const int part1 = r[3] + 20 * r[4] + 400 * r[5];
+          const int16_t* s0 = sc3 + static_cast<int64_t>(part0) * kPartPow;
+          const int16_t* s1 = sc3 + static_cast<int64_t>(part1) * kPartPow;
+          const int16_t* i0 = id3 + static_cast<int64_t>(part0) * kPartPow;
+          const int16_t* i1 = id3 + static_cast<int64_t>(part1) * kPartPow;
+          const int best1 = s1[0];
+          const int n0 = count_ge(s0, thr - best1);
+          for (int i = 0; i < n0; ++i) {
+            const int cut = thr - s0[i];
+            const int n1 = count_ge(s1, cut);
+            const int32_t base = i0[i];
+            for (int j = 0; j < n1; ++j) {
+              const int32_t km = base
+                  + static_cast<int32_t>(i1[j]) * kPartPow;
+              if (global_bitmap &&
+                  !(global_bitmap[static_cast<uint32_t>(km) >> 6]
+                    & (1ull << (km & 63))))
+                continue;
+              okm.push_back(km);
+              own.push_back(w);
+            }
+          }
+        } else {
+          generate_generic(parts, n_parts, r, thr, gen_kmers, gen_a, gen_b);
+          for (int32_t km : gen_kmers) {
             if (global_bitmap &&
                 !(global_bitmap[static_cast<uint32_t>(km) >> 6]
                   & (1ull << (km & 63))))
@@ -792,7 +912,9 @@ int partition_beams(
 int build_kmer_index(
     const uint8_t* tdata, const int64_t* toffs, const int32_t* tlens, int nt,
     const int32_t* diag_scores, int x_index, int kmer_thr,
+    int kmer_size, const int32_t* pattern,
     int32_t* out_kmer, int32_t* out_seq, int32_t* out_pos, int64_t* n_out) {
+  const int span = pattern[kmer_size - 1] + 1;
   int nthreads = 1;
 #if defined(_OPENMP)
   nthreads = omp_get_max_threads();
@@ -834,7 +956,7 @@ int build_kmer_index(
     for (int si = part[tid]; si < part[tid + 1]; ++si) {
       const uint8_t* s = tdata + toffs[si];
       const int L = tlens[si];
-      const int nw = L - kSpan + 1;
+      const int nw = L - span + 1;
       const size_t before = wk.size();
       if (nw <= 0) { wcnt[tid].push_back(0); continue; }
       uint32_t need = 1;
@@ -851,8 +973,8 @@ int build_kmer_index(
         int32_t packed = 0, self = 0;
         bool ok = true;
         int32_t mult = 1;
-        for (int k = 0; k < kK; ++k) {
-          const int r = s[w + kPattern[k]];
+        for (int k = 0; k < kmer_size; ++k) {
+          const int r = s[w + pattern[k]];
           if (r == x_index) { ok = false; break; }
           packed += r * mult;
           mult *= 20;

@@ -151,9 +151,15 @@ def sharded_prefilter(query_db: SetDB, target_db: SetDB,
         qlens = np.ascontiguousarray(query_db.lengths[cs:ce],
                                      dtype=np.int32)
         t0 = time.perf_counter()
+        t2 = e0.tables2
         beam_kmer, beam_win, beam_offs, corr8 = prefilter_generate_beams(
             qdata, qoffs, qlens, seed_sub, p_back, comp_bias_correction,
-            sc3, id3, gbm, X_INDEX, e0.kmer_thr, want_corr8=True)
+            sc3, id3, gbm, X_INDEX, e0.kmer_thr, want_corr8=True,
+            kmer_size=e0.kmer_size,
+            sc2=(np.ascontiguousarray(t2.scores, dtype=np.int16)
+                 if t2 is not None else None),
+            id2=(np.ascontiguousarray(t2.idx, dtype=np.int16)
+                 if t2 is not None else None))
         # per-shard sub-beams: on hardware each query host ships every
         # target-shard host only the beam k-mers its bitmap can match
         ncq = ce - cs

@@ -43,6 +43,19 @@ KMER_SIZE = 6
 SEED_ALPHA = 20          # X excluded from seeding
 PART_POW = SEED_ALPHA ** 3
 
+# spaced seed patterns per k (Sequence.h:24-33 spaced_seed_k)
+KMER_PATTERNS = {
+    6: SPACED_PATTERN_6,
+    7: np.array([0, 1, 3, 5, 6, 9, 10], dtype=np.int32),
+}
+KMER_SPANS = {6: 10, 7: 11}
+
+
+def compute_kmer_size(total_residues: int) -> int:
+    """IndexTable::computeKmerSize (IndexTable.h:439-441): k=6 below
+    ~3.35 G residues, k=7 above."""
+    return 6 if total_residues < 3350000000 else 7
+
 
 def kmer_score_threshold(sensitivity: float, kmer_size: int = 6,
                          profile: bool = False) -> int:
@@ -97,55 +110,73 @@ _ROW_BIG = np.int64(1) << 20
 
 @dataclass
 class SeedTables:
-    """Sorted 3-mer score tables (ExtendedSubstitutionMatrix equivalent)."""
-    scores: np.ndarray   # (8000, 8000) int16, per row sorted desc
-    idx: np.ndarray      # (8000, 8000) int16, 3-mer indices per sorted row
+    """Sorted part-k-mer score tables (ExtendedSubstitutionMatrix
+    equivalent): (R, R) with R = 20^part_size (8000 for 3-mers, 400 for
+    the 2-mer tables of odd k)."""
+    scores: np.ndarray   # (R, R) int16, per row sorted desc
+    idx: np.ndarray      # (R, R) int16, part-k-mer indices per sorted row
     neg_flat: np.ndarray = None  # (-scores + row*2^20).ravel(), lazy (host engine only)
+
+    @property
+    def rowsize(self) -> int:
+        return self.scores.shape[1]
 
     def _neg_flat(self) -> np.ndarray:
         if self.neg_flat is None:
             self.neg_flat = (
                 -np.asarray(self.scores).astype(np.int64)
-                + np.arange(PART_POW, dtype=np.int64)[:, None] * _ROW_BIG).ravel()
+                + np.arange(self.rowsize,
+                            dtype=np.int64)[:, None] * _ROW_BIG).ravel()
         return self.neg_flat
 
     def count_ge(self, rows: np.ndarray, cutoffs: np.ndarray) -> np.ndarray:
         """Per (row, cutoff) pair: how many entries of scores[row] are >= cutoff."""
         keys = rows.astype(np.int64) * _ROW_BIG + (-cutoffs.astype(np.int64))
         pos = np.searchsorted(self._neg_flat(), keys, side="right")
-        return (pos - rows.astype(np.int64) * PART_POW).astype(np.int64)
+        return (pos - rows.astype(np.int64) * self.rowsize).astype(np.int64)
 
 
-@lru_cache(maxsize=4)
-def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
+@lru_cache(maxsize=8)
+def _build_part_tables(matrix_name: str, part: int) -> SeedTables:
+    """Sorted part-k-mer product tables for part in {2, 3}
+    (ExtendedSubstitutionMatrix two/three)."""
     from ..utils.cache import artifact_path
-    sc_path = artifact_path(f"seed3_{matrix_name}_scores.npy")
-    id_path = artifact_path(f"seed3_{matrix_name}_idx.npy")
+    sc_path = artifact_path(f"seed{part}_{matrix_name}_scores.npy")
+    id_path = artifact_path(f"seed{part}_{matrix_name}_idx.npy")
     if sc_path.exists() and id_path.exists():
         sorted_scores = np.load(sc_path, mmap_mode="r")
         order = np.load(id_path, mmap_mode="r")
     else:
         m = load_pinned_matrix(matrix_name)
         sub = m.sub_int[:SEED_ALPHA, :SEED_ALPHA].astype(np.int32)
-        # scores3[(x0,x1,x2),(y0,y1,y2)] = sub[x0,y0]+sub[x1,y1]+sub[x2,y2]
-        # with index packing idx = x0 + 20*x1 + 400*x2 (Indexer.h:21-35)
+        # scores[(x0..xp),(y0..yp)] = sum_i sub[xi, yi] with index packing
+        # idx = sum_i xi * 20^i (Indexer.h:21-35)
         one = np.ones((SEED_ALPHA, SEED_ALPHA), dtype=np.int32)
-        t0 = np.kron(one, np.kron(one, sub))          # x0,y0 fastest dim
-        t1 = np.kron(one, np.kron(sub, one))
-        t2 = np.kron(sub, np.kron(one, one))
-        scores3 = t0 + t1 + t2                        # (8000, 8000) int32
+        scores = np.zeros((SEED_ALPHA ** part,) * 2, dtype=np.int32)
+        for i in range(part):
+            # digit i (fastest = 0) varies with the i-th innermost factor
+            t = sub
+            for _ in range(i):
+                t = np.kron(t, one)
+            for _ in range(part - 1 - i):
+                t = np.kron(one, t)
+            scores = scores + t
         # tie order: the reference stable-sorts in cartesian-product order,
-        # i.e. lexicographic in (x0,x1,x2) — the digit-REVERSED packing
-        # (ExtendedSubstitutionMatrix.cpp:38-56). rev is a bijection on
-        # 0..7999, so the composite (-score, rev) key is unique and a plain
-        # unstable argsort reproduces lexsort((rev, -score)) exactly.
-        j = np.arange(PART_POW, dtype=np.int32)
-        rev = ((j % SEED_ALPHA) * 400
-               + ((j // SEED_ALPHA) % SEED_ALPHA) * SEED_ALPHA + j // 400)
-        key = (-scores3 << 13) + rev[None, :]
+        # i.e. lexicographic in (x0..xp) — the digit-REVERSED packing
+        # (ExtendedSubstitutionMatrix.cpp:38-56). rev is a bijection, so
+        # the composite (-score, rev) key is unique and a plain unstable
+        # argsort reproduces lexsort((rev, -score)) exactly.
+        R = SEED_ALPHA ** part
+        j = np.arange(R, dtype=np.int32)
+        rev = np.zeros(R, dtype=np.int32)
+        tmp = j.copy()
+        for _ in range(part):
+            rev = rev * SEED_ALPHA + tmp % SEED_ALPHA
+            tmp = tmp // SEED_ALPHA
+        key = (-scores << 13) + rev[None, :]
         order = np.argsort(key, axis=1, kind="quicksort").astype(np.int16)
         sorted_scores = np.take_along_axis(
-            scores3.astype(np.int16), order.astype(np.int64), axis=1)
+            scores.astype(np.int16), order.astype(np.int64), axis=1)
         tmp_sc = sc_path.with_suffix(".tmp.npy")
         tmp_id = id_path.with_suffix(".tmp.npy")
         np.save(tmp_sc, sorted_scores)
@@ -157,20 +188,45 @@ def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
     return SeedTables(scores=sorted_scores, idx=order)
 
 
-def spaced_kmers(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All spaced 6-mer windows: returns (window_starts, kmer_residues (N,6))."""
+def build_seed_tables(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
+    return _build_part_tables(matrix_name, 3)
+
+
+def build_seed_tables2(matrix_name: str = "vtml80_bf8_bias") -> SeedTables:
+    return _build_part_tables(matrix_name, 2)
+
+
+def kmer_parts(kmer_size: int) -> list[int]:
+    """KmerGenerator::setDivideStrategy's reversed part sizes
+    (KmerGenerator.cpp:41-88): k=6 -> [3,3]; k=7 (k%3==1) -> [2,2,3];
+    k=8 (k%3==2) -> [2,3,3]."""
+    n3 = kmer_size // 3
+    if kmer_size % 3 == 0:
+        parts = [3] * n3
+    elif kmer_size % 3 == 1:
+        parts = [3] * (n3 - 1) + [2, 2]
+    else:
+        parts = [3] * n3 + [2]
+    return parts[::-1]
+
+
+def spaced_kmers(seq: np.ndarray, kmer_size: int = 6
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """All spaced k-mer windows: returns (window_starts, kmer_residues (N,k))."""
+    pattern = KMER_PATTERNS[kmer_size]
+    span = KMER_SPANS[kmer_size]
     L = len(seq)
-    n = L - SPAN_6 + 1
+    n = L - span + 1
     if n <= 0:
-        return np.empty(0, np.int32), np.empty((0, KMER_SIZE), np.uint8)
+        return np.empty(0, np.int32), np.empty((0, kmer_size), np.uint8)
     starts = np.arange(n, dtype=np.int32)
-    cols = starts[:, None] + SPACED_PATTERN_6[None, :]
+    cols = starts[:, None] + pattern[None, :]
     return starts, seq[cols]
 
 
 def pack_kmers(kmers: np.ndarray) -> np.ndarray:
     """Indexer::int2index packing: idx = sum kmer[i] * 20^i (Indexer.h:21-90)."""
-    powers = SEED_ALPHA ** np.arange(KMER_SIZE, dtype=np.int64)
+    powers = SEED_ALPHA ** np.arange(kmers.shape[1], dtype=np.int64)
     return (kmers.astype(np.int64) * powers[None, :]).sum(axis=1)
 
 
@@ -187,10 +243,11 @@ class KmerIndex:
 
     def __init__(self, target_db: SetDB, kmer_thr: int,
                  seed_matrix: SubstitutionMatrix | None = None,
-                 mask: bool = True):
+                 mask: bool = True, kmer_size: int = 6):
         self.tdb = target_db
         self.seed = seed_matrix or load_pinned_matrix("vtml80_bf8_bias")
         self.kmer_thr = kmer_thr
+        self.kmer_size = kmer_size
         self.masked = (mask_sequences(target_db, self.seed) if mask
                        else [target_db.sequence(k) for k in range(target_db.size)])
 
@@ -210,7 +267,7 @@ class KmerIndex:
         km, sid, pos = build_kmer_index(
             self.t_data, self.t_offsets, lens.astype(np.int32),
             np.diagonal(self.seed.sub_int).astype(np.int32),
-            X_INDEX, self.kmer_thr)
+            X_INDEX, self.kmer_thr, kmer_size=self.kmer_size)
         self.kmers = km.astype(np.int64)
         self.seq_ids = sid
         self.positions = pos
@@ -226,14 +283,16 @@ class KmerIndex:
         data = self.t_data
         L = len(data)
         n_seq = len(lens)
-        if L < SPAN_6 or n_seq == 0:
+        span = KMER_SPANS[self.kmer_size]
+        pattern = KMER_PATTERNS[self.kmer_size]
+        if L < span or n_seq == 0:
             self.kmers, self.seq_ids, self.positions = empty
             return
         seq_of = np.repeat(np.arange(n_seq, dtype=np.int32), lens)
-        starts = np.arange(L - SPAN_6 + 1, dtype=np.int64)
+        starts = np.arange(L - span + 1, dtype=np.int64)
         # windows must not straddle a sequence boundary
-        ok = seq_of[starts] == seq_of[starts + SPAN_6 - 1]
-        kmers6 = data[starts[:, None] + SPACED_PATTERN_6[None, :]]
+        ok = seq_of[starts] == seq_of[starts + span - 1]
+        kmers6 = data[starts[:, None] + pattern[None, :]]
         ok &= ~(kmers6 == X_INDEX).any(axis=1)
         if self.kmer_thr > 0:
             # only k-mers with self-score >= threshold are indexed
@@ -267,7 +326,7 @@ class KmerIndex:
         # posting column directly)
         from ..native import build_kmer_hash
         self.hkeys, self.hoff, self.hcnt, self.occupied = build_kmer_hash(
-            self.kmers.astype(np.int32), SEED_ALPHA ** KMER_SIZE)
+            self.kmers.astype(np.int32), SEED_ALPHA ** self.kmer_size)
 
     def lookup_ranges(self, query_kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         lo = np.searchsorted(self.kmers, query_kmers, side="left")
@@ -280,11 +339,12 @@ class KmerIndex:
     #    table is rebuilt on load (the native fill takes ~0.15 s, far
     #    cheaper than persisting 256 MB). The cache key carries the
     #    build settings + DB shape.
-    FORMAT_VERSION = 1
+    FORMAT_VERSION = 2
 
     def save(self, path: str | Path) -> None:
         path = str(path)
         np.savez(path, version=self.FORMAT_VERSION, kmer_thr=self.kmer_thr,
+                 kmer_size=self.kmer_size,
                  n_seqs=self.tdb.size, total_res=self.tdb.total_residues,
                  kmers=self.kmers.astype(np.int32),
                  seq_ids=self.seq_ids, positions=self.positions,
@@ -292,14 +352,15 @@ class KmerIndex:
 
     @classmethod
     def load(cls, path: str | Path, target_db: SetDB, kmer_thr: int,
-             seed_matrix: SubstitutionMatrix | None = None
-             ) -> "KmerIndex | None":
+             seed_matrix: SubstitutionMatrix | None = None,
+             kmer_size: int = 6) -> "KmerIndex | None":
         try:
             z = np.load(path)
         except (OSError, ValueError):
             return None
         if (int(z["version"]) != cls.FORMAT_VERSION
                 or int(z["kmer_thr"]) != kmer_thr
+                or int(z.get("kmer_size", 6)) != kmer_size
                 or int(z["n_seqs"]) != target_db.size
                 or int(z["total_res"]) != target_db.total_residues):
             return None
@@ -307,6 +368,7 @@ class KmerIndex:
         self.tdb = target_db
         self.seed = seed_matrix or load_pinned_matrix("vtml80_bf8_bias")
         self.kmer_thr = kmer_thr
+        self.kmer_size = kmer_size
         self.t_data = z["t_data"]
         self.t_offsets = z["t_offsets"]
         bounds = np.concatenate((self.t_offsets, [len(self.t_data)]))
@@ -340,7 +402,8 @@ class PrefilterEngine:
                  index: "KmerIndex | None" = None,
                  seed_matrix_name: str = "vtml80_bf8_bias",
                  ungapped_matrix_name: str = "blosum62_bf2_bias",
-                 kmer_thr: int | None = None):
+                 kmer_thr: int | None = None,
+                 kmer_size: int | None = None):
         """`query_profiles` maps query keys to (L, 20) int16 PSSM scores
         (the 8-bit-scaled profile_score rows, Sequence.cpp:241-264); such
         queries use per-position k-mer generation, the profile k-mer
@@ -352,9 +415,14 @@ class PrefilterEngine:
         # the prefilter builds matrices with scoreBias=-0.2 (Prefiltering.cpp:992)
         self.seed = load_pinned_matrix(seed_matrix_name)
         self.ungapped = load_pinned_matrix(ungapped_matrix_name)
+        # k auto-raises to 7 on >3.35 G-residue DBs
+        # (IndexTable::computeKmerSize, IndexTable.h:439-441)
+        self.kmer_size = (kmer_size if kmer_size is not None
+                          else compute_kmer_size(target_db.total_residues))
         self.kmer_thr = (kmer_thr if kmer_thr is not None
                          else kmer_score_threshold(
-                             sensitivity, profile=bool(self.query_profiles)))
+                             sensitivity, self.kmer_size,
+                             profile=bool(self.query_profiles)))
         self.max_seqs = max_seqs
         self.min_diag_score = min_diag_score
         self.comp_bias = comp_bias_correction
@@ -363,6 +431,8 @@ class PrefilterEngine:
         self.same_qt_db = (same_qt_db if same_qt_db is not None
                            else query_db is target_db)
         self.tables = build_seed_tables(seed_matrix_name)
+        self.tables2 = (build_seed_tables2(seed_matrix_name)
+                        if self.kmer_size % 3 != 0 else None)
         # NB the index seeding threshold uses the SEQUENCE k-mer threshold
         # even for profile queries (localKmerThr logic, Prefiltering.cpp:525-528
         # keeps kmerThr; with profile queries localKmerThr becomes 0)
@@ -382,14 +452,15 @@ class PrefilterEngine:
                 fp = _h.sha1(sd[:4096].tobytes() + sd[-4096:].tobytes()
                              + target_db.offsets.tobytes()).hexdigest()[:10]
                 cache = (_P(target_db.path)
-                         / f"kmeridx_k6_t{index_thr}_m{int(mask)}"
-                           f"_{seed_matrix_name}_{fp}.npz")
+                         / f"kmeridx_k{self.kmer_size}_t{index_thr}"
+                           f"_m{int(mask)}_{seed_matrix_name}_{fp}.npz")
                 if cache.exists():
                     self.index = KmerIndex.load(cache, target_db, index_thr,
-                                                self.seed)
+                                                self.seed,
+                                                kmer_size=self.kmer_size)
             if self.index is None:
                 self.index = KmerIndex(target_db, index_thr, self.seed,
-                                       mask=mask)
+                                       mask=mask, kmer_size=self.kmer_size)
                 if cache is not None:
                     try:
                         self.index.save(cache)
@@ -401,28 +472,48 @@ class PrefilterEngine:
         self._tlens = target_db.lengths
 
     # ------------------------------------------------------------------
-    def _similar_kmers(self, part0: int, part1: int, thr: int) -> np.ndarray:
-        """generateKmerList for one window: all 6-mers with score >= thr.
+    def _expand_kmers(self, kmers: np.ndarray, thr: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """generateKmerList over all windows at once: every k-mer with
+        score >= thr[w], in exact generation order (part 0 major, each
+        level's entries by score desc; KmerGenerator.cpp:104-230 with
+        the reversed divide strategy).  Returns (window_idx, kmer)."""
+        parts = kmer_parts(self.kmer_size)
+        tables = [self.tables if p == 3 else self.tables2 for p in parts]
+        W = len(kmers)
+        k64 = kmers.astype(np.int64)
+        rows, mults = [], []
+        col = 0
+        for p in parts:
+            r = np.zeros(W, dtype=np.int64)
+            for i in range(p):
+                r += k64[:, col + i] * (SEED_ALPHA ** i)
+            rows.append(r)
+            mults.append(SEED_ALPHA ** col)
+            col += p
+        best = [tables[i].scores[rows[i], 0].astype(np.int64)
+                for i in range(len(parts))]
+        # rest[l][w] = max attainable score from levels > l
+        rest = [np.zeros(W, dtype=np.int64)]
+        for b in best[:0:-1]:
+            rest.insert(0, rest[0] + b)
 
-        Order: part0 entries by score desc (major), part1 by score desc.
-        """
-        t = self.tables
-        s0 = t.scores[part0]
-        s1 = t.scores[part1]
-        best1 = int(s1[0])
-        # part0 candidates: score >= thr - best1  (KmerGenerator.cpp:131-139)
-        n0 = int(np.searchsorted(-s0, -(thr - best1), side="right"))
-        if n0 == 0:
-            return np.empty(0, dtype=np.int64)
-        cut1 = thr - s0[:n0].astype(np.int32)  # per-i cutoff for part1
-        n1 = np.searchsorted(-s1, -cut1, side="right")
-        total = int(n1.sum())
-        if total == 0:
-            return np.empty(0, dtype=np.int64)
-        i0 = np.repeat(t.idx[part0, :n0].astype(np.int64), n1)
-        j_flat = np.concatenate([t.idx[part1, :c].astype(np.int64)
-                                 for c in n1]) if total else np.empty(0, np.int64)
-        return i0 + j_flat * PART_POW
+        w_idx = np.arange(W, dtype=np.int64)
+        score = np.zeros(W, dtype=np.int64)
+        kmer = np.zeros(W, dtype=np.int64)
+        for lvl, tab in enumerate(tables):
+            row = rows[lvl][w_idx]
+            cut = thr[w_idx] - score - rest[lvl][w_idx]
+            n = tab.count_ge(row, cut)
+            if n.sum() == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            rep = np.repeat(np.arange(len(w_idx)), n)
+            j = _ragged_arange(n)
+            score = score[rep] + tab.scores[row[rep], j].astype(np.int64)
+            kmer = kmer[rep] + (tab.idx[row[rep], j].astype(np.int64)
+                                * mults[lvl])
+            w_idx = w_idx[rep]
+        return w_idx, kmer
 
     # ------------------------------------------------------------------
     def _raw_hits(self, qkey: int, bias_f32: np.ndarray
@@ -431,7 +522,7 @@ class PrefilterEngine:
         windows ascending, similar k-mers in generation order, postings in
         index order — fully vectorized."""
         qseq = self.qdb.sequence(qkey)
-        starts, kmers = spaced_kmers(qseq)
+        starts, kmers = spaced_kmers(qseq, self.kmer_size)
         valid = ~(kmers == X_INDEX).any(axis=1)
         starts = starts[valid]
         kmers = kmers[valid]
@@ -440,37 +531,18 @@ class PrefilterEngine:
         if W == 0:
             return empty
 
-        # f32 sequential bias sum over the 6 pattern positions, then the
+        # f32 sequential bias sum over the k pattern positions, then the
         # C double +/-0.5 truncation (QueryMatcher.cpp:230-236)
         b = np.zeros(W, dtype=np.float32)
-        for p in SPACED_PATTERN_6:
+        for p in KMER_PATTERNS[self.kmer_size]:
             b = (b + bias_f32[starts + p]).astype(np.float32)
         bd = b.astype(np.float64)
         biasv = np.where(bd < 0.0, bd - 0.5, bd + 0.5).astype(np.int16)
         thr = np.maximum(self.kmer_thr - biasv.astype(np.int64), 0)
 
-        k64 = kmers.astype(np.int64)
-        part0 = k64[:, 0] + SEED_ALPHA * k64[:, 1] + 400 * k64[:, 2]
-        part1 = k64[:, 3] + SEED_ALPHA * k64[:, 4] + 400 * k64[:, 5]
-
-        t = self.tables
-        best1 = t.scores[part1, 0].astype(np.int64)
-        n0 = t.count_ge(part0, thr - best1)
-        if n0.sum() == 0:
+        w_all, kmers_all = self._expand_kmers(kmers, thr)
+        if len(kmers_all) == 0:
             return empty
-        w_rep = np.repeat(np.arange(W), n0)
-        i_idx = _ragged_arange(n0)
-        s0_vals = t.scores[part0[w_rep], i_idx].astype(np.int64)
-        cut2 = thr[w_rep] - s0_vals
-        n1 = t.count_ge(part1[w_rep], cut2)
-        if n1.sum() == 0:
-            return empty
-        p_rep = np.repeat(np.arange(len(w_rep)), n1)
-        j_idx = _ragged_arange(n1)
-        idx0 = t.idx[part0[w_rep], i_idx].astype(np.int64)
-        w_all = w_rep[p_rep]
-        kmers_all = (idx0[p_rep]
-                     + t.idx[part1[w_all], j_idx].astype(np.int64) * PART_POW)
 
         lo, hi = self.index.lookup_ranges(kmers_all)
         cnt = hi - lo
@@ -606,7 +678,12 @@ class PrefilterEngine:
             np.ascontiguousarray(self._tlens, dtype=np.int32),
             np.ascontiguousarray(self.ungapped.sub_int, dtype=np.int32),
             X_INDEX, self.kmer_thr, self.max_seqs, self.min_diag_score,
-            self._bin_count, identity_base, self.cov_thr, self.cov_mode)
+            self._bin_count, identity_base, self.cov_thr, self.cov_mode,
+            kmer_size=self.kmer_size,
+            sc2=(np.ascontiguousarray(self.tables2.scores, dtype=np.int16)
+                 if self.tables2 is not None else None),
+            id2=(np.ascontiguousarray(self.tables2.idx, dtype=np.int16)
+                 if self.tables2 is not None else None))
         n_q = len(qlens)
         out = []
         for bi in range(n_q):
