@@ -7,19 +7,21 @@ engine instead keeps the *databases* resident on device (query tokens +
 per-position bias, target tokens — a few MB total) and jit-compiles a
 fused function per (Lq, Lt) length bucket that
 
-  1. gathers the padded (B, Lq)/(B, Lt) token panels from the resident
-     arrays using per-pair (offset, length) vectors (the only H2D traffic,
-     ~32 KB per batch),
+  1. fetches the padded (B, Lq)/(B, Lt) token panels from the
+     DMA-ALIGNED resident arrays — forward batches as per-row HBM->VMEM
+     DMAs (panel_gather; the XLA element gather costs ~18 ms per 0.5 MB
+     panel on this hardware, the DMA path ~2 ms), reverse batches via
+     the XLA flipped gather (per-pair H2D traffic stays one (6, B)
+     params array, ~32 KB),
   2. builds the scoring profile on device via a one-hot MXU matmul
      (prof[b,a,i] = sub[q_bi, a] + bias_bi — exact in int8xint8->int32),
-  3. runs the tiled column scan of ops/sw_tiled.py (same math bit-for-bit
-     as the reference's striped SW score pass,
+  3. runs the VMEM-resident Pallas DP scan (ops/sw_pallas.py; same math
+     bit-for-bit as the reference's striped SW score pass,
      lib/mmseqs/src/alignment/StripedSmithWaterman.cpp:354-461).
 
-Length buckets use a x4 ladder {128, 512, 2048, ...} and a fixed batch
-width per ladder rung, so the number of compiled shapes is bounded and
-the persistent compilation cache (utils/jaxconf.py) amortizes them
-across processes.
+Length buckets use a fixed ladder with per-rung batch widths, so the
+number of compiled shapes is bounded and the persistent compilation
+cache (utils/jaxconf.py) amortizes them across processes.
 """
 
 from __future__ import annotations
@@ -35,8 +37,123 @@ from .sw_tiled import sw_scan_core
 
 configure_jax()
 
-LADDER = (512, 1024, 2048, 4096, 32768)
-_BATCH_FOR_RUNG = {512: 1024, 1024: 512, 2048: 128, 4096: 64, 32768: 8}
+LADDER = (256, 384, 512, 1024, 2048, 4096, 32768)
+_BATCH_FOR_RUNG = {256: 2048, 384: 2048, 512: 1024, 1024: 512, 2048: 128,
+                   4096: 64, 32768: 8}
+
+# device-resident layout: sequence starts are padded to 1024-token
+# alignment so the panel gather can run as per-row HBM->VMEM DMAs (the
+# int8 HBM tiling requires 1024-aligned slice starts); the tail pad
+# guarantees a full top-rung row read never overruns the buffer
+DMA_ALIGN = 1024
+
+
+def _aligned_concat(data: np.ndarray, offsets: np.ndarray,
+                    tail: int) -> tuple[np.ndarray, np.ndarray]:
+    """Repack concatenated per-sequence data so every sequence starts at
+    a DMA_ALIGN boundary.  Returns (padded data, int32 aligned offsets)."""
+    n = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    alens = ((lens + DMA_ALIGN - 1) // DMA_ALIGN) * DMA_ALIGN
+    new_offs = np.concatenate(([0], np.cumsum(alens)))
+    out = np.zeros(int(new_offs[-1]) + tail, dtype=data.dtype)
+    for i in range(n):
+        out[new_offs[i]:new_offs[i] + lens[i]] = \
+            data[offsets[i]:offsets[i + 1]]
+    return out, new_offs[:-1].astype(np.int32)
+
+
+_GATHER_G = 8      # DMA rows per grid step (in-flight copies)
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def row_gather(data, offs, *, L: int):
+    """(B, L) panel: row b = data[offs[b]*DMA_ALIGN : ...+L] via per-row
+    HBM->VMEM DMAs with scalar-prefetched starts.  `offs` is in
+    DMA_ALIGN units (the aligned resident layout guarantees whole-block
+    starts, and the in-kernel multiply lets Mosaic PROVE the slice start
+    divisible by the HBM int8 tiling).  Replaces the XLA element gather,
+    which costs ~18 ms per 0.5M-token panel on this hardware."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = offs.shape[0]
+    Lc = ((L + DMA_ALIGN - 1) // DMA_ALIGN) * DMA_ALIGN
+
+    def kernel(offs_ref, src_ref, out_ref, sems):
+        g = pl.program_id(0)
+        cps = []
+        for i in range(_GATHER_G):
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds(offs_ref[g * _GATHER_G + i] * DMA_ALIGN,
+                                 Lc)],
+                out_ref.at[pl.ds(i * Lc, Lc)], sems.at[i])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // _GATHER_G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((_GATHER_G * Lc,), lambda g, offs: (g,)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_GATHER_G,))],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Lc,), data.dtype))(offs, data)
+    return out.reshape(B, Lc)[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("Lq", "Lt"))
+def panel_gather(qdata, qbias, tdata, qoffs, toffs, *, Lq: int, Lt: int):
+    """Fused forward-panel fetch: ONE kernel DMAs the (B, Lq) query
+    token + bias rows and the (B, Lt) target token rows from the
+    aligned resident arrays (offsets in DMA_ALIGN units)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B = qoffs.shape[0]
+    Lqc = ((Lq + DMA_ALIGN - 1) // DMA_ALIGN) * DMA_ALIGN
+    Ltc = ((Lt + DMA_ALIGN - 1) // DMA_ALIGN) * DMA_ALIGN
+
+    def kernel(qoffs_ref, toffs_ref, q_ref, b_ref, t_ref,
+               oq_ref, ob_ref, ot_ref, sems):
+        g = pl.program_id(0)
+        cps = []
+        for i in range(_GATHER_G):
+            qo = qoffs_ref[g * _GATHER_G + i] * DMA_ALIGN
+            to = toffs_ref[g * _GATHER_G + i] * DMA_ALIGN
+            for k, (src, dst, start, ln) in enumerate((
+                    (q_ref, oq_ref, qo, Lqc),
+                    (b_ref, ob_ref, qo, Lqc),
+                    (t_ref, ot_ref, to, Ltc))):
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(start, ln)],
+                    dst.at[pl.ds(i * ln, ln)], sems.at[i * 3 + k])
+                cp.start()
+                cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // _GATHER_G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((_GATHER_G * Lqc,), lambda g, qo, to: (g,)),
+            pl.BlockSpec((_GATHER_G * Lqc,), lambda g, qo, to: (g,)),
+            pl.BlockSpec((_GATHER_G * Ltc,), lambda g, qo, to: (g,)),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_GATHER_G * 3,))],
+    )
+    oq, ob, ot = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B * Lqc,), qdata.dtype),
+                   jax.ShapeDtypeStruct((B * Lqc,), qbias.dtype),
+                   jax.ShapeDtypeStruct((B * Ltc,), tdata.dtype)],
+    )(qoffs, toffs, qdata, qbias, tdata)
+    return (oq.reshape(B, Lqc)[:, :Lq], ob.reshape(B, Lqc)[:, :Lq],
+            ot.reshape(B, Ltc)[:, :Lt])
 
 
 DEVICE_MAX_LEN = LADDER[-1]
@@ -88,31 +205,49 @@ def batch_width(lq: int, lt: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "use16"))
+    static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "use16",
+                     "reverse"))
 def _sw_bucket(qdata, qbias, tdata, sub, params,
                *, Lq: int, Lt: int, gap_open: int, gap_extend: int,
-               use16: bool = False):
-    """One compiled bucket. qdata/qbias/tdata: resident int8 arrays.
-    sub: (A, A) int32. params: (6, B) int32 rows = qoff, qlen, toff,
-    tlen, terminate, rev (one array so a batch costs ONE host->device
-    transfer). Returns (score, gj, gi, found, fj, fi): forward rows
-    (rev=0) use (score, gj, gi) = (score, t_end, q_end); reverse rows
-    (rev=1) read (fj, fi, found) = terminate-column break in reversed
-    coordinates (forward rows pass terminate=-1 so the tracker never
-    fires)."""
-    qoff, qlen, toff, tlen, terminate, rev = [params[i] for i in range(6)]
-    iq = np.arange(Lq, dtype=np.int32)
-    it = np.arange(Lt, dtype=np.int32)
-    r = rev[:, None] != 0
-    q_idx = qoff[:, None] + jnp.where(
-        r, jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0),
-        jnp.minimum(iq[None, :], qlen[:, None] - 1))
-    t_idx = toff[:, None] + jnp.where(
-        r, jnp.maximum(tlen[:, None] - 1 - it[None, :], 0),
-        jnp.minimum(it[None, :], tlen[:, None] - 1))
-    qt = qdata[q_idx].astype(jnp.int32)            # (B, Lq) tokens
-    qb = qbias[q_idx].astype(jnp.int32)            # (B, Lq) int8 bias
-    tt = tdata[t_idx].astype(jnp.int32)            # (B, Lt) tokens
+               use16: bool = False, reverse: bool = False):
+    """One compiled bucket. qdata/qbias/tdata: resident int8 arrays in
+    the DMA-ALIGNED layout. sub: (A, A) int32. params: (6, B) int32
+    rows = qoff_blk, qlen, toff_blk, tlen, terminate, unused —
+    offsets in DMA_ALIGN units (one array so a batch costs ONE
+    host->device transfer). Returns (score, gj, gi, found, fj, fi):
+    forward batches use (score, gj, gi) = (score, t_end, q_end);
+    reverse batches read (fj, fi, found) = terminate-column break in
+    reversed coordinates.
+
+    Forward panels are fetched with per-row DMAs (panel_gather) —
+    tokens past qlen/tlen are neighboring-sequence garbage, which the
+    DP's row/column validity masks make unreachable (invalid rows sit
+    BELOW all valid rows, so neither the diagonal term nor the
+    downward F scan can leak into valid cells, and the column max
+    reads the masked H).  Reverse batches need per-row flipped
+    prefixes, which stay on the (slower) XLA clamped gather — they are
+    the minority of batches (survivors only)."""
+    qoff, qlen, toff, tlen, terminate, _ = [params[i] for i in range(6)]
+    if not reverse and _use_pallas():
+        qt8, qb8, tt8 = panel_gather(qdata, qbias, tdata, qoff, toff,
+                                     Lq=Lq, Lt=Lt)
+        qt = qt8.astype(jnp.int32)
+        qb = qb8.astype(jnp.int32)
+        tt = tt8.astype(jnp.int32)
+    else:
+        iq = np.arange(Lq, dtype=np.int32)
+        it = np.arange(Lt, dtype=np.int32)
+        if reverse:
+            qsel = jnp.maximum(qlen[:, None] - 1 - iq[None, :], 0)
+            tsel = jnp.maximum(tlen[:, None] - 1 - it[None, :], 0)
+        else:
+            qsel = jnp.minimum(iq[None, :], qlen[:, None] - 1)
+            tsel = jnp.minimum(it[None, :], tlen[:, None] - 1)
+        q_idx = qoff[:, None] * DMA_ALIGN + qsel
+        t_idx = toff[:, None] * DMA_ALIGN + tsel
+        qt = qdata[q_idx].astype(jnp.int32)        # (B, Lq) tokens
+        qb = qbias[q_idx].astype(jnp.int32)        # (B, Lq) int8 bias
+        tt = tdata[t_idx].astype(jnp.int32)        # (B, Lt) tokens
     A = sub.shape[0]
     onehot = (qt[:, :, None] ==
               np.arange(A, dtype=np.int32)[None, None, :]).astype(jnp.int8)
@@ -130,7 +265,8 @@ def _sw_bucket(qdata, qbias, tdata, sub, params,
         from .sw_pallas import score_grid, sw_scan_pallas
         S = score_grid(prof, tt)
         return sw_scan_pallas(S, qlen, tlen, terminate, gap_open,
-                              gap_extend, all_outputs=True, use16=use16)
+                              gap_extend, all_outputs=True, use16=use16,
+                              bt=64)
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
                         with_terminate=True, all_outputs=True)
@@ -177,11 +313,26 @@ class DeviceAlignDB:
 
     def __init__(self, qdata: np.ndarray, qbias: np.ndarray,
                  tdata: np.ndarray, sub: np.ndarray,
-                 q_offsets: np.ndarray | None = None):
+                 q_offsets: np.ndarray | None = None,
+                 t_offsets: np.ndarray | None = None):
         import threading
-        self.qdata = jnp.asarray(_pow2_pad(qdata.astype(np.int8)))
-        self.qbias = jnp.asarray(_pow2_pad(qbias.astype(np.int8)))
-        self.tdata = jnp.asarray(_pow2_pad(tdata.astype(np.int8)))
+        if q_offsets is None:
+            q_offsets = np.array([0, len(qdata)], dtype=np.int64)
+        if t_offsets is None:
+            t_offsets = np.array([0, len(tdata)], dtype=np.int64)
+        # DMA-aligned resident layout: every sequence starts on a
+        # DMA_ALIGN boundary so forward panels fetch as per-row DMAs;
+        # tail pad guarantees top-rung row reads stay in bounds
+        tail = DEVICE_MAX_LEN + DMA_ALIGN
+        qa, q_el = _aligned_concat(qdata.astype(np.int8), q_offsets, tail)
+        qba, _ = _aligned_concat(qbias.astype(np.int8), q_offsets, tail)
+        ta, t_el = _aligned_concat(tdata.astype(np.int8), t_offsets, tail)
+        # per-sequence offsets in DMA_ALIGN units (what jobs carry)
+        self.q_blk = (q_el // DMA_ALIGN).astype(np.int32)
+        self.t_blk = (t_el // DMA_ALIGN).astype(np.int32)
+        self.qdata = jnp.asarray(_pow2_pad(qa))
+        self.qbias = jnp.asarray(_pow2_pad(qba))
+        self.tdata = jnp.asarray(_pow2_pad(ta))
         self.sub = jnp.asarray(sub.astype(np.int32))
         # int16 DP eligibility: an upper bound on any alignment score of
         # query q is the sum of its positive per-position best profile
@@ -219,23 +370,36 @@ class DeviceAlignDB:
         return (self.qdata, self.qbias, self.tdata, self.sub)
 
     def _call(self, params, lq: int, lt: int, gap_open: int,
-              gap_extend: int):
+              gap_extend: int, reverse: bool = False):
         return _sw_bucket(*self._resident(), params,
                           Lq=lq, Lt=lt, gap_open=gap_open,
-                          gap_extend=gap_extend, use16=self._use16)
+                          gap_extend=gap_extend, use16=self._use16,
+                          reverse=reverse)
+
+    def _lower_compile(self, params, lq: int, lt: int, gap_open: int,
+                       gap_extend: int, reverse: bool) -> None:
+        _sw_bucket.lower(*self._resident(), params,
+                         Lq=lq, Lt=lt, gap_open=gap_open,
+                         gap_extend=gap_extend, use16=self._use16,
+                         reverse=reverse).compile()
 
     def ensure_warm(self, lq: int, lt: int, gap_open: int,
-                    gap_extend: int) -> None:
-        """First-use compile of one bucket shape through the jit path —
-        which, unlike AOT lower().compile(), both READS and WRITES the
-        persistent compilation cache (a warm cache turns ~3.5 s compiles
-        into ~1.2 s loads on later runs).  Concurrent warms of different
-        shapes are allowed; a per-key in-flight event makes late callers
-        WAIT for the owning thread instead of duplicating a multi-second
-        compile (the warm thread races the streaming dispatcher)."""
+                    gap_extend: int, reverse: bool = False) -> None:
+        """First-use compile of one bucket shape via AOT
+        lower().compile() — measured on this setup it populates the same
+        executable cache the jit call path reads (the subsequent
+        dispatch-path call costs ~0 s) WITHOUT executing anything.  The
+        round-3 design ran a full dummy batch per executable to absorb
+        the first-execution tunnel stall; with 12 executables those
+        dummies were ~5 Gcells of dead device work serialized ahead of
+        the real batches — the stall is per-process, so warm() absorbs
+        it once with a trivial kernel instead.  Concurrent warms of
+        different shapes are allowed; a per-key in-flight event makes
+        late callers WAIT for the owning thread instead of duplicating
+        a multi-second compile."""
         import threading
         import time
-        key = (lq, lt, gap_open, gap_extend)
+        key = (lq, lt, gap_open, gap_extend, reverse)
         with self._lock:
             if key in self._compiled:
                 return
@@ -255,11 +419,12 @@ class DeviceAlignDB:
             params = np.zeros((6, B), dtype=np.int32)
             params[1] = params[3] = 1
             params[4] = -1
-            r = self._call(jnp.asarray(params), lq, lt, gap_open,
-                           gap_extend)
+            params[5] = 1 if reverse else 0
+            self._lower_compile(jnp.asarray(params), lq, lt, gap_open,
+                                gap_extend, reverse)
             dt = time.perf_counter() - t0
             with self._lock:
-                self._compiled[key] = r      # keep result: sync later
+                self._compiled[key] = True
                 self.metrics["compile_s"] += dt
                 self.metrics["n_executables"] += 1
         finally:
@@ -268,20 +433,21 @@ class DeviceAlignDB:
                 self._inflight.pop(key, None)
 
     def warm(self, rungs, gap_open: int, gap_extend: int) -> None:
-        """Compile + dummy-execute the bucket shapes (call from a
-        background thread at pipeline start).  The dummy execution
-        matters: on the target hardware the FIRST program execution of a
-        process absorbs a large, variable device/tunnel bring-up stall
-        (tens of seconds observed) that would otherwise land in the
-        align stage."""
+        """AOT-compile the bucket shapes (call from a background thread
+        at pipeline start) and absorb the per-process first-execution
+        tunnel stall with ONE trivial kernel execution — the stall is
+        process-global, not per-executable."""
         from concurrent.futures import ThreadPoolExecutor
+        np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros(8, jnp.int32)))
         with ThreadPoolExecutor(max_workers=2) as pool:
             list(pool.map(lambda lq: self.ensure_warm(lq, lq, gap_open,
                                                       gap_extend), rungs))
-        with self._lock:
-            rs = list(self._compiled.values())
-        if rs:
-            np.asarray(rs[-1][0][:1])       # sync: absorb first-exec stall
+        # reverse-direction executables compile after the forward set is
+        # hot (the forward pass dominates and dispatches first)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(lambda lq: self.ensure_warm(lq, lq, gap_open,
+                                                      gap_extend, True),
+                          rungs))
 
     def dispatch(self, jobs, gap_open: int, gap_extend: int,
                  reverse: bool):
@@ -293,7 +459,7 @@ class DeviceAlignDB:
         pending = []
         t0 = time.perf_counter()
         for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
-            self.ensure_warm(lq, lt, gap_open, gap_extend)
+            self.ensure_warm(lq, lt, gap_open, gap_extend, reverse)
             B = batch_width(lq, lt)
             for s in range(0, len(qoff), B):
                 e = min(s + B, len(qoff))
@@ -308,7 +474,7 @@ class DeviceAlignDB:
                 params[4, e - s:] = -1
                 params[5, :] = 1 if reverse else 0
                 r = self._call(jnp.asarray(params), lq, lt,
-                               gap_open, gap_extend)
+                               gap_open, gap_extend, reverse)
                 pending.append((pos[s:e], r))
                 self.metrics["n_batches"] += 1
         self.metrics["dispatch_s"] += time.perf_counter() - t0
@@ -407,7 +573,14 @@ class StructureDeviceDB(DeviceAlignDB):
                 self.m3di, self.aasc)
 
     def _call(self, params, lq: int, lt: int, gap_open: int,
-              gap_extend: int):
+              gap_extend: int, reverse: bool = False):
+        # the structure bucket keeps the runtime rev row (params[5])
         return _sw_bucket_struct(*self._resident(), params,
                                  Lq=lq, Lt=lt, gap_open=gap_open,
                                  gap_extend=gap_extend)
+
+    def _lower_compile(self, params, lq: int, lt: int, gap_open: int,
+                       gap_extend: int, reverse: bool) -> None:
+        _sw_bucket_struct.lower(*self._resident(), params,
+                                Lq=lq, Lt=lt, gap_open=gap_open,
+                                gap_extend=gap_extend).compile()

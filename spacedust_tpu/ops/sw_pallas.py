@@ -173,13 +173,18 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
     B, Lt, Lq = S.shape
     # VMEM budget: the kernel keeps ~10 live (BT, Lq) int32 arrays
     # (H/E scratch + loop temporaries) plus the double-buffered S block
-    # inside the 16 MB VMEM; size BT and TT accordingly.
+    # inside the 16 MB VMEM; size BT and TT accordingly.  Measured on
+    # v5e: (BT=64, TT=128) beats (128, 16) ~1.3x at Lq=512 — fewer,
+    # larger S blocks amortize per-grid-step overhead.
     BT = min(bt, B)
-    while BT > 8 and BT * Lq * 4 * 10 > 8 * 1024 * 1024:
+    while BT > 8 and BT * Lq * 4 * 10 > 6 * 1024 * 1024:
         BT //= 2
     if tt is None:
+        # joint budget: double-buffered S blocks + ~10 live (BT, Lq)
+        # i32 state arrays must fit the 16 MB VMEM with headroom
         tt = 128
-        while tt > 8 and 2 * tt * BT * Lq > 4 * 1024 * 1024:
+        while (tt > 8 and 2 * tt * BT * Lq + 40 * BT * Lq
+               > 12 * 1024 * 1024):
             tt //= 2
     TT = min(tt, Lt)
     assert B % BT == 0 and Lt % TT == 0 and TT % 8 == 0

@@ -621,15 +621,18 @@ class AlignmentEngine:
                 np.ascontiguousarray(self.matrix.p_back, dtype=np.float64))
         else:
             qbias = np.zeros(len(qdata), dtype=np.int8)
-        self._qoffs32 = qoffs.astype(np.int32)
-        self._toffs32 = np.ascontiguousarray(
-            tdb.offsets[:-1], dtype=np.int32)
         self._dev = DeviceAlignDB(qdata, qbias,
                                   np.ascontiguousarray(tdb.seq_data,
                                                        dtype=np.uint8),
                                   self.matrix.sub_int,
                                   q_offsets=np.ascontiguousarray(
-                                      qdb.offsets, dtype=np.int64))
+                                      qdb.offsets, dtype=np.int64),
+                                  t_offsets=np.ascontiguousarray(
+                                      tdb.offsets, dtype=np.int64))
+        # per-sequence offsets in the device's DMA-aligned layout
+        # (DMA_ALIGN units) — what forward/reverse jobs carry
+        self._qoffs32 = self._dev.q_blk
+        self._toffs32 = self._dev.t_blk
         return self._dev
 
     def _forward_jobs(self, pairs: list[tuple[int, int]], base: int,

@@ -336,38 +336,57 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
 
     # prefixid: records -> prefixed column lines
     t0 = time.time()
+    agg_detail = {}
     if records is None:
         results = {qk: [[str(qk)] + c for c in cols]
                    for qk, cols in ck.load_lines("result").items()}
     else:
+        # format each record's columns ONCE; the checkpoint save reuses
+        # the formatted lists (string formatting dominates this step on
+        # large runs)
         results = {qk: [[str(qk)] + r.columns() for r in recs]
                    for qk, recs in records.items()}
-        ck.save_lines("result", {qk: [r.columns() for r in recs]
-                                 for qk, recs in records.items()})
+        agg_detail["format_s"] = round(time.time() - t0, 2)
+        ts = time.time()
+        ck.save_lines("result", {qk: [c[1:] for c in cols]
+                                 for qk, cols in results.items()})
+        agg_detail["ckpt_s"] = round(time.time() - ts, 2)
     if ck.has("matches"):
         matches = ck.load_matches()
     else:
         if ck.has("aggregate_merged"):
             merged = ck.load_lines("aggregate_merged")
         else:
+            ts = time.time()
             agg = besthit_by_set(results, target_db,
                                  simple_best_hit=par.simple_best_hit,
                                  subopt_hits_factor=par.subopt_hits_factor)
+            agg_detail["besthit_s"] = round(time.time() - ts, 2)
+            ts = time.time()
             ck.save_lines("aggregate", agg)
             merged = merge_results_by_set(agg, query_db)
             ck.save_lines("aggregate_merged", merged)
+            agg_detail["ckpt_s"] = (agg_detail.get("ckpt_s", 0.0)
+                                    + round(time.time() - ts, 2))
+        ts = time.time()
         matches = combine_hits(merged, query_db, target_db, alpha=par.alpha,
                                aggregation_mode=par.aggregation_mode,
                                filter_self_match=par.filter_self_match)
         ck.save_matches(matches)
+        agg_detail["combine_s"] = round(time.time() - ts, 2)
+    ts = time.time()
     clusters = cluster_hits(matches, query_db, target_db,
                             max_gene_gaps=par.max_gene_gaps,
                             cluster_size=par.cluster_size,
                             p_clu_thr=par.p_clu_thr,
                             p_mh_thr=par.p_mh_thr,
                             alpha=par.alpha)
+    agg_detail["clusterhits_s"] = round(time.time() - ts, 2)
+    ts = time.time()
     tsv = summarize_results(clusters, query_db, target_db)
+    agg_detail["summarize_s"] = round(time.time() - ts, 2)
     timings["aggregate"] = time.time() - t0
+    timings["aggregate_detail"] = agg_detail
 
     return ClusterSearchResult(tsv=tsv, clusters=clusters, matches=matches,
                                seq_to_clu=seq_to_clu(clusters),
