@@ -166,10 +166,11 @@ def measure_reference_scale(paths) -> dict:
 
 def kernel_gcups():
     """Throughput of the SHIPPING forward-SW path: on TPU that is the
-    Pallas VMEM-resident scan fed by the MXU score-grid einsum (exactly
-    what _sw_bucket runs in production); on CPU the XLA tiled scan.
-    Reported as DP-cell updates/s; block_until_ready only (no
-    device->host transfer), so it survives a degraded transfer path."""
+    Pallas VMEM-resident row-tracking scan fed by the MXU score-grid
+    einsum (exactly what _sw_bucket runs for forward batches); on CPU
+    the XLA tiled scan.  Timed with a REAL result fetch — on this
+    hardware block_until_ready does NOT wait through the device tunnel
+    (the round-3 6121-GCUPS figure was that artifact)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -178,7 +179,7 @@ def kernel_gcups():
 
     m = load_substitution_matrix()
     rng = np.random.default_rng(0)
-    B, L = 2048, 384
+    B, L = 1024, 512
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         B = 128
@@ -195,7 +196,8 @@ def kernel_gcups():
         def run():
             S = score_grid(prof, tseq)
             return sw_scan_pallas(S, lens, lens, term, 11, 1,
-                                  all_outputs=True)
+                                  all_outputs=True, bt=64,
+                                  per_column=False)
     else:
         from spacedust_tpu.ops.sw_tiled import sw_scan_tiled
 
@@ -203,16 +205,17 @@ def kernel_gcups():
             return sw_scan_tiled(prof, tseq, lens, lens, 11, 1, term,
                                  t_tile=128)
 
-    jax.block_until_ready(run())
+    import numpy as _np
+    _np.asarray(run()[0][:1])       # compile + absorb first-exec stall
     cells = B * L * L
     trials = []
     for _ in range(3):
-        reps = 20
+        reps = 10
         t0 = time.perf_counter()
         out = None
         for _ in range(reps):
             out = run()
-        jax.block_until_ready(out)
+        _np.asarray(out[0][:1])     # forces the whole dispatch chain
         trials.append(cells / ((time.perf_counter() - t0) / reps) / 1e9)
     return sorted(trials)[len(trials) // 2], on_tpu
 

@@ -121,6 +121,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,       # min_diag_score, bin_count
             ctypes.c_int,                     # same_db
             ctypes.c_float, ctypes.c_int,     # cov_thr, cov_mode
+            ctypes.c_int64,                   # match buffer cap (0=auto)
             ctypes.POINTER(ctypes.c_int32),   # out_seq
             ctypes.POINTER(ctypes.c_int32),   # out_score
             ctypes.POINTER(ctypes.c_int32),   # out_diag
@@ -198,6 +199,40 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,                     # alpha
             ctypes.c_int, ctypes.c_int,       # max_seqs, min_diag_score
             ctypes.c_int, ctypes.c_int,       # bin_count, identity_base
+            ctypes.c_float, ctypes.c_int,     # cov_thr, cov_mode
+            ctypes.POINTER(ctypes.c_int32),   # out_seq
+            ctypes.POINTER(ctypes.c_int32),   # out_score
+            ctypes.POINTER(ctypes.c_int32),   # out_diag
+            ctypes.POINTER(ctypes.c_int32),   # out_cnt
+            ctypes.POINTER(ctypes.c_int64),   # total_raw_out
+        ]
+        lib.prefilter_match_profile_batch.restype = ctypes.c_int
+        lib.prefilter_match_profile_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),   # rank_s (Ltot, 20)
+            ctypes.POINTER(ctypes.c_uint8),   # rank_i (Ltot, 20)
+            ctypes.POINTER(ctypes.c_int16),   # qprof (Ltot, 20)
+            ctypes.POINTER(ctypes.c_uint8),   # qseq (profile residues)
+            ctypes.c_int,                     # x_index
+            ctypes.POINTER(ctypes.c_int64),   # qoffs (position offsets)
+            ctypes.POINTER(ctypes.c_int32),   # qlens
+            ctypes.c_int,                     # nq
+            ctypes.c_int,                     # kmer_size
+            ctypes.POINTER(ctypes.c_int32),   # pattern
+            ctypes.POINTER(ctypes.c_int32),   # hash keys
+            ctypes.POINTER(ctypes.c_int32),   # hash range starts
+            ctypes.POINTER(ctypes.c_int32),   # hash range counts
+            ctypes.c_int64,                   # hash capacity
+            ctypes.POINTER(ctypes.c_uint64),  # occupied bitmap
+            ctypes.POINTER(ctypes.c_int32),   # post_seq
+            ctypes.POINTER(ctypes.c_int32),   # post_pos
+            ctypes.POINTER(ctypes.c_uint8),   # tdata
+            ctypes.POINTER(ctypes.c_int64),   # toffs
+            ctypes.POINTER(ctypes.c_int32),   # tlens
+            ctypes.c_int,                     # nt
+            ctypes.c_int,                     # alpha
+            ctypes.c_int, ctypes.c_int,       # kmer_thr, max_seqs
+            ctypes.c_int, ctypes.c_int,       # min_diag_score, bin_count
+            ctypes.POINTER(ctypes.c_int32),   # identity_keys (nullable)
             ctypes.c_float, ctypes.c_int,     # cov_thr, cov_mode
             ctypes.POINTER(ctypes.c_int32),   # out_seq
             ctypes.POINTER(ctypes.c_int32),   # out_score
@@ -426,7 +461,7 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
                           kmer_thr, max_seqs, min_diag_score, bin_count,
                           identity_base, cov_thr, cov_mode,
                           kmer_size: int = 6, sc2=None, id2=None,
-                          pattern=None):
+                          pattern=None, match_cap: int = 0):
     """OpenMP k-mer prefilter over a query batch (see prefilter_engine.cpp).
 
     identity_base >= 0: same-DB search, batch row qi is target key
@@ -465,6 +500,7 @@ def prefilter_match_batch(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         _ptr(ungapped_sub, ctypes.c_int32), ungapped_sub.shape[0],
         int(x_index), int(kmer_thr), int(max_seqs), int(min_diag_score),
         int(bin_count), int(identity_base), float(cov_thr), int(cov_mode),
+        ctypes.c_int64(match_cap),
         _ptr(out_seq, ctypes.c_int32), _ptr(out_score, ctypes.c_int32),
         _ptr(out_diag, ctypes.c_int32), _ptr(out_cnt, ctypes.c_int32),
         ctypes.byref(total_raw))
@@ -605,6 +641,52 @@ def prefilter_match_beams(qdata, qoffs, qlens, seed_sub, p_back, do_bias,
         ctypes.byref(total_raw))
     if rc != 0:
         raise RuntimeError(f"prefilter_match_beams failed: {rc}")
+    return out_seq, out_score, out_diag, out_cnt, int(total_raw.value)
+
+
+def prefilter_match_profile_batch(rank_s, rank_i, qprof, qseq, x_index,
+                                  qoffs, qlens,
+                                  hkeys, hoff, hcnt, occupied,
+                                  post_seq, post_pos, tdata, toffs, tlens,
+                                  alpha, kmer_thr, max_seqs,
+                                  min_diag_score, bin_count,
+                                  identity_keys, cov_thr, cov_mode,
+                                  kmer_size: int = 6, pattern=None):
+    """OpenMP profile-query prefilter (per-position PSSM beam; see
+    prefilter_engine.cpp).  Same output contract as
+    prefilter_match_batch; identity_keys: per-row identity target key
+    or None."""
+    lib = get_lib()
+    nq = len(qlens)
+    out_seq = np.empty(nq * max_seqs, dtype=np.int32)
+    out_score = np.empty(nq * max_seqs, dtype=np.int32)
+    out_diag = np.empty(nq * max_seqs, dtype=np.int32)
+    out_cnt = np.zeros(nq, dtype=np.int32)
+    total_raw = ctypes.c_int64(0)
+    rc = lib.prefilter_match_profile_batch(
+        _ptr(rank_s, ctypes.c_int16), _ptr(rank_i, ctypes.c_uint8),
+        _ptr(qprof, ctypes.c_int16),
+        _ptr(qseq, ctypes.c_uint8), int(x_index),
+        _ptr(qoffs, ctypes.c_int64), _ptr(qlens, ctypes.c_int32), nq,
+        int(kmer_size), _ptr(_pattern_arr(pattern, kmer_size),
+                             ctypes.c_int32),
+        _ptr(hkeys, ctypes.c_int32), _ptr(hoff, ctypes.c_int32),
+        _ptr(hcnt, ctypes.c_int32), ctypes.c_int64(len(hkeys)),
+        _ptr(occupied, ctypes.c_uint64),
+        _ptr(post_seq, ctypes.c_int32), _ptr(post_pos, ctypes.c_int32),
+        _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
+        _ptr(tlens, ctypes.c_int32), len(tlens),
+        int(alpha), int(kmer_thr), int(max_seqs), int(min_diag_score),
+        int(bin_count),
+        (_ptr(identity_keys, ctypes.c_int32)
+         if identity_keys is not None
+         else ctypes.POINTER(ctypes.c_int32)()),
+        float(cov_thr), int(cov_mode),
+        _ptr(out_seq, ctypes.c_int32), _ptr(out_score, ctypes.c_int32),
+        _ptr(out_diag, ctypes.c_int32), _ptr(out_cnt, ctypes.c_int32),
+        ctypes.byref(total_raw))
+    if rc != 0:
+        raise RuntimeError(f"prefilter_match_profile_batch failed: {rc}")
     return out_seq, out_score, out_diag, out_cnt, int(total_raw.value)
 
 

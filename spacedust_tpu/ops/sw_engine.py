@@ -264,9 +264,11 @@ def _sw_bucket(qdata, qbias, tdata, sub, params,
         # buckets fall back to the XLA scan)
         from .sw_pallas import score_grid, sw_scan_pallas
         S = score_grid(prof, tt)
+        # forward batches use the cheap row-tracking argmax; the reverse
+        # pass needs the per-column terminate tracker
         return sw_scan_pallas(S, qlen, tlen, terminate, gap_open,
                               gap_extend, all_outputs=True, use16=use16,
-                              bt=64)
+                              bt=64, per_column=reverse)
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
                         with_terminate=True, all_outputs=True)

@@ -52,16 +52,22 @@ def _try_init_distributed() -> tuple[int, int]:
     coord = os.environ.get("SPACEDUST_COORDINATOR")
     n_procs = int(os.environ.get("SPACEDUST_NUM_PROCS", "1"))
     proc_id = int(os.environ.get("SPACEDUST_PROC_ID", "0"))
+    want_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    import jax
+    if want_cpu:
+        # the axon TPU plugin force-overrides JAX_PLATFORMS at import;
+        # pin the config BEFORE any backend use or two workers end up
+        # sharing the single tunnel device (observed SIGSEGV)
+        jax.config.update("jax_platforms", "cpu")
     if coord and n_procs > 1:
         try:
-            import jax
             # on real pods the distributed client is what makes remote
             # chips addressable and is always initialized; on the CPU
             # backend (tests / single-host stand-in) the gRPC
             # coordinator handshake+shutdown costs minutes of retries
             # and adds nothing over the filesystem barrier, so it is
             # opt-in there
-            if (jax.default_backend() != "cpu"
+            if (not want_cpu
                     or os.environ.get("SPACEDUST_USE_JAX_DISTRIBUTED")
                     == "1"):
                 jax.distributed.initialize(coordinator_address=coord,

@@ -116,10 +116,18 @@ def test_structure_anchor_artifact():
 
 
 @pytest.mark.skipif(not os.environ.get("SPACEDUST_RUN_STRUCT_E2E"),
-                    reason="full structure regression (~5 min): set "
+                    reason="full structure regression: set "
                            "SPACEDUST_RUN_STRUCT_E2E=1")
 def test_structure_full_anchor(full_db):
-    """Live reproduction of the 568-hit anchor on the full testdb."""
+    """Live reproduction of the 568-hit anchor on the full testdb.
+
+    Stays env-gated (the suite's one skip): on the CPU test backend the
+    full 5898x5898 structure search costs ~20+ min, blowing the suite
+    budget.  The anchor is still covered by default three ways: the
+    committed artifact + the E-value DISTRIBUTION anchors above (545 at
+    1e-20 / 564 at 1e-10 — K cannot drift without tripping them), and
+    the live 80-gene structure searches in this file; ~5 min on the
+    real chip with SPACEDUST_RUN_STRUCT_E2E=1."""
     par = ClusterSearchParams(filter_self_match=True, search_mode=2)
     res = cluster_search(full_db, full_db, par)
     n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
