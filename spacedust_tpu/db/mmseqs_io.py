@@ -104,12 +104,32 @@ class FlatDB:
         return [ln for ln in self.get(key).split("\n") if ln]
 
 
+def _compress_entry(payload: bytes) -> bytes:
+    """DBWriter::writeData compressed-entry framing
+    (commons/DBWriter.cpp:331-399): [u32 stored size][zstd frame OR raw
+    payload][flag byte NUL=compressed / 0xFF=raw].  The reference keeps
+    the RAW payload when compression does not shrink it."""
+    import struct
+    try:
+        import zstandard
+        comp = zstandard.ZstdCompressor(level=3).compress(payload)
+    except ImportError:           # environment without zstd: store raw
+        comp = None
+    if comp is not None and len(comp) < len(payload):
+        return struct.pack("<I", len(comp)) + comp + b"\x00"
+    return struct.pack("<I", len(payload)) + payload + b"\xff"
+
+
 def write_flatdb(base: str | Path, entries: list[tuple[int, str]],
-                 dbtype: int | None = None) -> None:
+                 dbtype: int | None = None,
+                 compressed: bool = False) -> None:
     """Write a flat DB (data + .index [+ .dbtype]) the reference's tools
     can read (DBWriter semantics: each entry NUL-terminated, entries
     ending in '\\n' before the NUL; index length includes the NUL,
-    commons/DBWriter.cpp)."""
+    commons/DBWriter.cpp).  `compressed=True` writes per-entry zstd
+    frames with the DBTYPE_EXTENDED_COMPRESSED bit (bit 31) set in the
+    .dbtype, exactly DBReader::isCompressed's contract — the INDEX
+    length stays the ORIGINAL entry size (DBReader.cpp:560-585)."""
     base = Path(base)
     with open(base, "wb") as data_fh, open(f"{base}.index", "w") as idx_fh:
         offset = 0
@@ -117,12 +137,23 @@ def write_flatdb(base: str | Path, entries: list[tuple[int, str]],
             if text and not text.endswith("\n"):
                 text += "\n"
             blob = text.encode() + b"\x00"
-            data_fh.write(blob)
-            idx_fh.write(f"{key}\t{offset}\t{len(blob)}\n")
-            offset += len(blob)
-    if dbtype is not None:
+            if compressed:
+                stored = _compress_entry(text.encode())
+                data_fh.write(stored)
+                # index records the ORIGINAL size; spans derive from the
+                # stored u32 on read
+                idx_fh.write(f"{key}\t{offset}\t{len(blob)}\n")
+                offset += len(stored)
+            else:
+                data_fh.write(blob)
+                idx_fh.write(f"{key}\t{offset}\t{len(blob)}\n")
+                offset += len(blob)
+    if dbtype is not None or compressed:
         import struct
-        Path(f"{base}.dbtype").write_bytes(struct.pack("<i", dbtype))
+        dt = dbtype if dbtype is not None else 0
+        if compressed:
+            dt |= 1 << 31
+        Path(f"{base}.dbtype").write_bytes(struct.pack("<I", dt & 0xFFFFFFFF))
 
 
 def write_flatdb_bytes(base: str | Path, entries: list[tuple[int, bytes]],

@@ -14,6 +14,14 @@
 // engine owns the pointer-chasing, mirroring the reference's split
 // (SIMD prefilter on CPU cores feeding the alignment stage).
 //
+// Why the ungapped Kadane rescore also stays host-side (it LOOKS like
+// VPU work): measured with SPACEDUST_PREF_PROFILE on the 12-genome
+// scale workload, generation+posting lookups are ~74% of the engine's
+// CPU time and detection+rescore+emit together only ~26% (of which the
+// Kadane loop is a fraction) — batching surviving (target, diagonal)
+// segments to a device kernel would add an H2D/D2H round trip to save
+// at most a few percent of end-to-end wall.
+//
 // Layout contract (see native/__init__.py::prefilter_match_batch):
 //   seed tables   : sc3/id3 are the (8000, 8000) int16 sorted 3-mer
 //                   product tables (ExtendedSubstitutionMatrix).

@@ -172,8 +172,10 @@ def device_max_len() -> int:
 
 
 def bucket_len(x: int) -> int:
-    """Square rung: one executable per rung, forward and reverse passes
-    share it (the per-pair `rev` flag is a runtime input).  The ladder is
+    """Square rung: one executable per (rung, direction) — the forward
+    variant uses the DMA panel gather + row-tracking argmax, the reverse
+    variant the flipped gather + per-column terminate tracker.  The
+    ladder is
     deliberately tiny: on the target hardware each distinct compiled
     shape costs ~2-4 s to build/load (even on a persistent-cache hit),
     which dwarfs the padding FLOPs it saves — round 2's 11x11 grid spent

@@ -180,3 +180,33 @@ def test_compressed_db_read(tmp_path):
     assert plain.keys() == comp.keys()
     for k in plain.keys():
         assert plain.get(k) == comp.get(k), f"entry {k}"
+
+
+def test_compressed_flatdb_write_roundtrip(tmp_path):
+    """Per-entry zstd WRITE (DBWriter DBTYPE_EXTENDED_COMPRESSED,
+    commons/DBWriter.cpp:331-399): our own reader round-trips it and the
+    REFERENCE binary consumes it directly (prefixid --tsv)."""
+    import os
+    import subprocess
+
+    from spacedust_tpu.db.mmseqs_io import FlatDB, write_flatdb
+
+    base = str(tmp_path / "cdb")
+    entries = [(0, "hello\tworld\n1\t2\t3"), (3, "x" * 5000), (7, "")]
+    write_flatdb(base, entries, dbtype=5, compressed=True)
+    db = FlatDB.open(base)
+    assert db.compressed
+    for k, text in entries:
+        want = text + ("\n" if text and not text.endswith("\n") else "")
+        assert db.get(k) == want
+    # compression actually happened (the 5 KB run shrinks)
+    assert os.path.getsize(base) < 600
+
+    refbin = "/root/repo/.refbuild/src/spacedust"
+    if os.path.exists(refbin):
+        r = subprocess.run([refbin, "prefixid", base, base + "_p",
+                            "--tsv", "--threads", "1"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-400:]
+        body = open(base + "_p").read()
+        assert "0\thello\tworld" in body
