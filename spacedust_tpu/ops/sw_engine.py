@@ -66,45 +66,6 @@ def _aligned_concat(data: np.ndarray, offsets: np.ndarray,
 _GATHER_G = 8      # DMA rows per grid step (in-flight copies)
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def row_gather(data, offs, *, L: int):
-    """(B, L) panel: row b = data[offs[b]*DMA_ALIGN : ...+L] via per-row
-    HBM->VMEM DMAs with scalar-prefetched starts.  `offs` is in
-    DMA_ALIGN units (the aligned resident layout guarantees whole-block
-    starts, and the in-kernel multiply lets Mosaic PROVE the slice start
-    divisible by the HBM int8 tiling).  Replaces the XLA element gather,
-    which costs ~18 ms per 0.5M-token panel on this hardware."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    B = offs.shape[0]
-    Lc = ((L + DMA_ALIGN - 1) // DMA_ALIGN) * DMA_ALIGN
-
-    def kernel(offs_ref, src_ref, out_ref, sems):
-        g = pl.program_id(0)
-        cps = []
-        for i in range(_GATHER_G):
-            cp = pltpu.make_async_copy(
-                src_ref.at[pl.ds(offs_ref[g * _GATHER_G + i] * DMA_ALIGN,
-                                 Lc)],
-                out_ref.at[pl.ds(i * Lc, Lc)], sems.at[i])
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // _GATHER_G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_GATHER_G * Lc,), lambda g, offs: (g,)),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_GATHER_G,))],
-    )
-    out = pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * Lc,), data.dtype))(offs, data)
-    return out.reshape(B, Lc)[:, :L]
-
-
 @functools.partial(jax.jit, static_argnames=("Lq", "Lt"))
 def panel_gather(qdata, qbias, tdata, qoffs, toffs, *, Lq: int, Lt: int):
     """Fused forward-panel fetch: ONE kernel DMAs the (B, Lq) query
