@@ -163,11 +163,10 @@ def test_bounded_match_buffer_overflow_rounds():
 
         native.prefilter_match_batch = patched
         try:
-            import importlib
+            # _match_native re-imports the symbol per call, so the
+            # patched wrapper is seen
             eng2 = PrefilterEngine(db, db, sensitivity=5.7, max_seqs=100,
                                    same_qt_db=True)
-            # force the wrapper path that reads the patched symbol
-            from spacedust_tpu.search import prefilter as P
             res = {}
             for s in range(0, db.size, 40):
                 res.update(eng2.match_range(s, min(s + 40, db.size)))

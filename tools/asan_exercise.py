@@ -44,6 +44,57 @@ def main() -> None:
     n_cand = sum(len(v) for v in hits.values())
     print("prefilter ok", n_cand, flush=True)
 
+    # cached-beam target-split surface: generate -> mask table ->
+    # partition -> per-shard probe (the multi-chip prefilter path)
+    from spacedust_tpu.constants import X_INDEX
+    idx = eng.index
+    qoffs = np.ascontiguousarray(sub.offsets[:64], np.int64)
+    qdata = np.ascontiguousarray(
+        sub.seq_data[:sub.offsets[63]], np.uint8)
+    qlens = np.ascontiguousarray(sub.lengths[:63], np.int32)
+    sc3 = np.ascontiguousarray(eng.tables.scores, np.int16)
+    id3 = np.ascontiguousarray(eng.tables.idx, np.int16)
+    bk, bw, boffs, corr8 = N.prefilter_generate_beams(
+        qdata, qoffs[:63], qlens,
+        np.ascontiguousarray(seed.sub_int, np.int32),
+        np.ascontiguousarray(seed.p_back, np.float64), True,
+        sc3, id3, idx.occupied, X_INDEX, eng.kmer_thr, want_corr8=True)
+    sbm = np.ascontiguousarray(np.stack([idx.occupied, idx.occupied]))
+    table = N.build_shard_mask_table(sbm)
+    pk, pw, poffs = N.partition_beams(bk, bw, boffs, table, 2)
+    N.prefilter_match_beams(
+        qdata, qoffs[:63], qlens,
+        np.ascontiguousarray(seed.sub_int, np.int32),
+        np.ascontiguousarray(seed.p_back, np.float64), True,
+        pk, pw, poffs[:64],
+        idx.hkeys, idx.hoff, idx.hcnt, idx.occupied,
+        np.ascontiguousarray(idx.seq_ids, np.int32),
+        np.ascontiguousarray(idx.positions, np.int32),
+        np.ascontiguousarray(idx.t_data, np.uint8),
+        np.ascontiguousarray(idx.t_offsets, np.int64),
+        np.ascontiguousarray(sub.lengths, np.int32),
+        np.ascontiguousarray(eng.ungapped.sub_int, np.int32),
+        300, 15, eng._bin_count, -1, 0.0, 0, corr8=corr8)
+    print("beams ok", len(bk), flush=True)
+
+    # overflow rounds (bounded match buffer) + profile-query batch
+    eng._match_native(qdata, qoffs[:63], qlens, -1)  # warm path reuse
+    from spacedust_tpu.native import prefilter_match_batch as _pmb
+    import spacedust_tpu.native as _n
+    orig = _n.prefilter_match_batch
+    _n.prefilter_match_batch = (
+        lambda *a, **kw: orig(*a, **{**kw, "match_cap": 512}))
+    try:
+        eng.match_range(0, 48)
+    finally:
+        _n.prefilter_match_batch = orig
+    profiles = {q: (seed.sub_int[sub.sequence(q)][:, :20]
+                    .astype(np.int16)) for q in range(0, 40, 7)}
+    eng2 = PrefilterEngine(sub, sub, same_qt_db=True,
+                           query_profiles=profiles, index=idx)
+    eng2.match_all(list(profiles))
+    print("overflow/profile ok", flush=True)
+
     # banded tracebacks (single + batch) on prefilter survivors
     from spacedust_tpu.stats.submat import load_substitution_matrix
     m = load_substitution_matrix()
