@@ -45,23 +45,28 @@ SCALE_BASELINE = os.path.join(REPO, "SCALE_BASELINE.json")
 E2E_SCRIPT = r"""
 import json, sys, tempfile, time
 sys.path.insert(0, %(repo)r)
-t_all = time.time()
 from spacedust_tpu.db.fasta import create_setdb_from_fastas
 from spacedust_tpu.workflow.clustersearch import (ClusterSearchParams,
                                                   cluster_search)
-t0 = time.time()
-db = create_setdb_from_fastas(%(fastas)r)
-import tempfile, os
-tmp = tempfile.mkdtemp(prefix="benchdb")
-db.save(tmp)                      # artifact dir enables the index cache
-db = type(db).load(tmp)
-t_ingest = time.time() - t0
-res = cluster_search(db, db, ClusterSearchParams(filter_self_match=True))
-n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
-n_clu = sum(1 for ln in res.tsv.splitlines() if ln.startswith("#"))
-print(json.dumps({"total_s": time.time() - t_all, "ingest_s": t_ingest,
-                  "timings": res.timings, "hits": n_hits,
-                  "clusters": n_clu}))
+runs = []
+for _ in range(%(n_runs)d):
+    # repeat runs share this process's loaded executables — the
+    # per-process load of ~12 SW executables (~10 s warm) would
+    # otherwise recur per run and the variance would swamp the signal
+    t_all = time.time()
+    t0 = time.time()
+    db = create_setdb_from_fastas(%(fastas)r)
+    tmp = tempfile.mkdtemp(prefix="benchdb")
+    db.save(tmp)                  # artifact dir enables the index cache
+    db = type(db).load(tmp)
+    t_ingest = time.time() - t0
+    res = cluster_search(db, db, ClusterSearchParams(filter_self_match=True))
+    n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
+    n_clu = sum(1 for ln in res.tsv.splitlines() if ln.startswith("#"))
+    runs.append({"total_s": time.time() - t_all, "ingest_s": t_ingest,
+                 "timings": res.timings, "hits": n_hits,
+                 "clusters": n_clu})
+print(json.dumps(runs))
 """
 
 REGRESSION_FASTAS = ["/root/reference/examples/NC_000913.faa",
@@ -102,8 +107,11 @@ def warm_tunnel(max_tries: int = 3, timeout_s: float = 900.0) -> float:
     return total
 
 
-def run_e2e(fastas, timeout_s: float):
-    script = E2E_SCRIPT % {"repo": REPO, "fastas": fastas}
+def run_e2e(fastas, timeout_s: float, n_runs: int = 1):
+    """Run the full pipeline n_runs times in ONE subprocess (shared
+    executable loads); returns a list of per-run dicts (or None)."""
+    script = E2E_SCRIPT % {"repo": REPO, "fastas": fastas,
+                           "n_runs": n_runs}
     try:
         proc = subprocess.run([sys.executable, "-c", script],
                               capture_output=True, text=True,
@@ -111,7 +119,7 @@ def run_e2e(fastas, timeout_s: float):
     except subprocess.TimeoutExpired:
         return None
     for line in reversed(proc.stdout.splitlines()):
-        if line.startswith("{"):
+        if line.startswith("["):
             return json.loads(line)
     return None
 
@@ -291,18 +299,16 @@ def main() -> None:
             elif os.path.exists(SCALE_BASELINE):
                 scale_base = json.load(open(SCALE_BASELINE))
             if scale_base is not None:
-                scale = run_e2e(paths, float(os.environ.get(
+                rs = run_e2e(paths, float(os.environ.get(
                     "SPACEDUST_BENCH_SCALE_TIMEOUT", "2400")))
+                scale = rs[0] if rs else None
         except Exception:
             scale = None
 
     # ---- small tier: median of N runs (ADVICE r3) --------------------
     n_runs = int(os.environ.get("SPACEDUST_BENCH_RUNS", "3"))
-    small_runs = []
-    for _ in range(n_runs):
-        r = run_e2e(REGRESSION_FASTAS, timeout_s)
-        if r is not None:
-            small_runs.append(r)
+    small_runs = run_e2e(REGRESSION_FASTAS, timeout_s,
+                         n_runs=n_runs) or []
     small = None
     if small_runs:
         small_runs.sort(key=lambda r: r["total_s"])
