@@ -41,6 +41,17 @@ LADDER = (256, 384, 512, 1024, 2048, 4096, 32768)
 _BATCH_FOR_RUNG = {256: 2048, 384: 2048, 512: 1024, 1024: 512, 2048: 128,
                    4096: 64, 32768: 8}
 
+# Super-batching: K width-B chunks run inside ONE device execution via an
+# outer lax.map (sequential on-device, so only one chunk's S grid is live
+# in HBM at a time).  Measured on the target link each *separate*
+# execution costs ~30 ms of serialized round-trip overhead while the same
+# chunk inside a lax.map costs its ~7-50 ms of pure compute — round 4's
+# scale run burned 137.7 s of its 172 s align stage on 4797 per-batch
+# round trips.  K is sized so one super-execution carries ~100-200 ms of
+# DP compute (overhead <10%) while tail-padding waste stays below one
+# super per (rung, direction).
+_SUPER_K = {256: 16, 384: 8, 512: 8, 1024: 4, 2048: 4, 4096: 4, 32768: 1}
+
 # device-resident layout: sequence starts are padded to 1024-token
 # alignment so the panel gather can run as per-row HBM->VMEM DMAs (the
 # int8 HBM tiling requires 1024-aligned slice starts); the tail pad
@@ -166,6 +177,16 @@ def batch_width(lq: int, lt: int) -> int:
     return _BATCH_FOR_RUNG[max(lq, lt)]
 
 
+def super_k(lq: int, lt: int) -> int:
+    """Chunks per super-execution (1 = plain single-chunk executable).
+    On the CPU test backend a super would multiply tiny test batches by
+    K in padding compute, so it stays 1 there."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return 1
+    return _SUPER_K[max(lq, lt)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("Lq", "Lt", "gap_open", "gap_extend", "use16",
@@ -239,6 +260,28 @@ def _sw_bucket(qdata, qbias, tdata, sub, params,
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),
                         with_terminate=True, all_outputs=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "Lq", "Lt", "gap_open", "gap_extend", "use16",
+                     "reverse"))
+def _sw_bucket_super(qdata, qbias, tdata, sub, params,
+                     *, K: int, Lq: int, Lt: int, gap_open: int,
+                     gap_extend: int, use16: bool = False,
+                     reverse: bool = False):
+    """K chunks of one rung in ONE device execution: params (K, 6, B);
+    lax.map runs the chunks sequentially on-device (one S grid live at a
+    time), eliminating the per-execution link round trip that dominated
+    round 4's align stage.  Outputs are flattened to (K*B,) so a super
+    looks exactly like one wide batch to collect()."""
+    def one(p):
+        return _sw_bucket(qdata, qbias, tdata, sub, p,
+                          Lq=Lq, Lt=Lt, gap_open=gap_open,
+                          gap_extend=gap_extend, use16=use16,
+                          reverse=reverse)
+    outs = jax.lax.map(one, params)
+    return tuple(o.reshape(-1) for o in outs)
 
 
 @functools.lru_cache(maxsize=1)
@@ -331,6 +374,7 @@ class DeviceAlignDB:
         self._use16 = False
         self._compiled = {}
         self._inflight = {}
+        self._buf = {}
         self._lock = threading.Lock()
         self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
                         "n_executables": 0, "n_batches": 0}
@@ -345,8 +389,25 @@ class DeviceAlignDB:
                           gap_extend=gap_extend, use16=self._use16,
                           reverse=reverse)
 
+    def _call_super(self, params, lq: int, lt: int, gap_open: int,
+                    gap_extend: int, reverse: bool, K: int):
+        return _sw_bucket_super(*self._resident(), params, K=K,
+                                Lq=lq, Lt=lt, gap_open=gap_open,
+                                gap_extend=gap_extend, use16=self._use16,
+                                reverse=reverse)
+
+    def _super_k(self, lq: int, lt: int) -> int:
+        return super_k(lq, lt)
+
     def _lower_compile(self, params, lq: int, lt: int, gap_open: int,
                        gap_extend: int, reverse: bool) -> None:
+        if params.ndim == 3:
+            _sw_bucket_super.lower(*self._resident(), params,
+                                   K=params.shape[0],
+                                   Lq=lq, Lt=lt, gap_open=gap_open,
+                                   gap_extend=gap_extend, use16=self._use16,
+                                   reverse=reverse).compile()
+            return
         _sw_bucket.lower(*self._resident(), params,
                          Lq=lq, Lt=lt, gap_open=gap_open,
                          gap_extend=gap_extend, use16=self._use16,
@@ -385,10 +446,14 @@ class DeviceAlignDB:
         try:
             t0 = time.perf_counter()
             B = batch_width(lq, lt)
-            params = np.zeros((6, B), dtype=np.int32)
+            K = self._super_k(lq, lt)
+            params = np.zeros((6, K * B), dtype=np.int32)
             params[1] = params[3] = 1
             params[4] = -1
             params[5] = 1 if reverse else 0
+            if K > 1:
+                params = np.ascontiguousarray(
+                    params.reshape(6, K, B).swapaxes(0, 1))
             self._lower_compile(jnp.asarray(params), lq, lt, gap_open,
                                 gap_extend, reverse)
             dt = time.perf_counter() - t0
@@ -418,36 +483,94 @@ class DeviceAlignDB:
                                                       gap_extend, True),
                           rungs))
 
+    def enqueue(self, jobs, gap_open: int, gap_extend: int,
+                reverse: bool):
+        """Append jobs (list of (bucket_key, qoff, qlen, toff, tlen,
+        term, positions)) to per-rung buffers and asynchronously dispatch
+        every FULL super-batch (super_k * batch_width pairs) as ONE
+        device execution; partial remainders stay buffered until flush().
+        Returns the pending entries dispatched now (for collect())."""
+        pending = []
+        for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
+            key = (lq, lt, gap_open, gap_extend, reverse)
+            self._buf.setdefault(key, []).append(
+                (np.asarray(qoff, np.int32), np.asarray(qlen, np.int32),
+                 np.asarray(toff, np.int32), np.asarray(tlen, np.int32),
+                 np.asarray(term, np.int32), np.asarray(pos)))
+            pending += self._drain(key, full_only=True)
+        return pending
+
+    def flush(self, gap_open: int, gap_extend: int, reverse: bool):
+        """Dispatch every buffered remainder for this direction (the
+        final partial super per rung is tail-padded with qlen=1 rows)."""
+        pending = []
+        for key in sorted(k for k in list(self._buf)
+                          if k[2:] == (gap_open, gap_extend, reverse)):
+            pending += self._drain(key, full_only=False)
+        return pending
+
+    def _drain(self, key, full_only: bool):
+        lq, lt, gap_open, gap_extend, reverse = key
+        unit = self._super_k(lq, lt) * batch_width(lq, lt)
+        buf = self._buf.get(key)
+        if not buf:
+            return []
+        n = sum(len(b[0]) for b in buf)
+        if n == 0 or (full_only and n < unit):
+            return []
+        cols = [np.concatenate([b[i] for b in buf]) for i in range(6)]
+        # sort by tlen so each BT block inside a chunk is tlen-
+        # homogeneous: the Pallas kernels clip their column-tile walk at
+        # each block's max tlen, so sorting converts rung padding along
+        # Lt into skipped work (results are position-addressed via
+        # cols[5], so order is free)
+        order = np.argsort(cols[3], kind="stable")
+        cols = [c[order] for c in cols]
+        take = (n // unit) * unit if full_only else n
+        self._buf[key] = ([tuple(c[take:] for c in cols)]
+                          if take < n else [])
+        return [self._dispatch_unit(key, cols, s, min(s + unit, take))
+                for s in range(0, take, unit)]
+
+    def _dispatch_unit(self, key, cols, s: int, e: int):
+        """One device execution: a (K, 6, B) super (or a plain (6, B)
+        batch when K == 1) carrying pairs cols[*][s:e], tail-padded."""
+        import time
+        lq, lt, gap_open, gap_extend, reverse = key
+        self.ensure_warm(lq, lt, gap_open, gap_extend, reverse)
+        t0 = time.perf_counter()
+        B = batch_width(lq, lt)
+        K = self._super_k(lq, lt)
+        n = e - s
+        params = np.zeros((6, K * B), dtype=np.int32)
+        params[1] = params[3] = 1
+        params[4] = -1
+        params[5] = 1 if reverse else 0
+        for i in range(5):
+            params[i, :n] = cols[i][s:e]
+        if K > 1:
+            p = jnp.asarray(np.ascontiguousarray(
+                params.reshape(6, K, B).swapaxes(0, 1)))
+            r = self._call_super(p, lq, lt, gap_open, gap_extend,
+                                 reverse, K)
+        else:
+            r = self._call(jnp.asarray(params), lq, lt, gap_open,
+                           gap_extend, reverse)
+        self.metrics["n_batches"] += 1
+        rk = f"{lq}{'r' if reverse else 'f'}"
+        rung = self.metrics.setdefault("rungs", {}).setdefault(
+            rk, {"execs": 0, "pairs": 0})
+        rung["execs"] += 1
+        rung["pairs"] += n
+        self.metrics["dispatch_s"] += time.perf_counter() - t0
+        return (cols[5][s:e], r)
+
     def dispatch(self, jobs, gap_open: int, gap_extend: int,
                  reverse: bool):
-        """Asynchronously dispatch batches for `jobs` (list of
-        (bucket_key, qoff, qlen, toff, tlen, term, positions)); returns a
-        pending list for collect().  Dispatch returns in milliseconds, so
-        a streaming caller can overlap device scoring with host work."""
-        import time
-        pending = []
-        t0 = time.perf_counter()
-        for (lq, lt), qoff, qlen, toff, tlen, term, pos in jobs:
-            self.ensure_warm(lq, lt, gap_open, gap_extend, reverse)
-            B = batch_width(lq, lt)
-            for s in range(0, len(qoff), B):
-                e = min(s + B, len(qoff))
-                params = np.zeros((6, B), dtype=np.int32)
-                params[0, :e - s] = qoff[s:e]
-                params[1, :e - s] = qlen[s:e]
-                params[1, e - s:] = 1
-                params[2, :e - s] = toff[s:e]
-                params[3, :e - s] = tlen[s:e]
-                params[3, e - s:] = 1
-                params[4, :e - s] = term[s:e]
-                params[4, e - s:] = -1
-                params[5, :] = 1 if reverse else 0
-                r = self._call(jnp.asarray(params), lq, lt,
-                               gap_open, gap_extend, reverse)
-                pending.append((pos[s:e], r))
-                self.metrics["n_batches"] += 1
-        self.metrics["dispatch_s"] += time.perf_counter() - t0
-        return pending
+        """Monolithic entry: enqueue + flush this direction's buffers.
+        Returns a pending list for collect()."""
+        return (self.enqueue(jobs, gap_open, gap_extend, reverse)
+                + self.flush(gap_open, gap_extend, reverse))
 
     def collect(self, pending):
         """Fetch every pending batch with ONE device-to-host transfer: on
@@ -533,6 +656,7 @@ class StructureDeviceDB(DeviceAlignDB):
         self.aasc = jnp.asarray(aasc.astype(np.int32))
         self._compiled = {}
         self._inflight = {}
+        self._buf = {}
         self._lock = threading.Lock()
         self.metrics = {"compile_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
                         "n_executables": 0, "n_batches": 0}
@@ -540,6 +664,10 @@ class StructureDeviceDB(DeviceAlignDB):
     def _resident(self):
         return (self.qss, self.qaa, self.qbias, self.tss, self.taa,
                 self.m3di, self.aasc)
+
+    def _super_k(self, lq: int, lt: int) -> int:
+        # no super variant for the (small, XLA-scan) structure bucket
+        return 1
 
     def _call(self, params, lq: int, lt: int, gap_open: int,
               gap_extend: int, reverse: bool = False):

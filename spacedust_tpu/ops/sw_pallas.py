@@ -38,7 +38,7 @@ NEG = -(1 << 30)
 _UNROLL = 8
 
 
-def _kernel_rowmax(qlens_ref, tlens_ref, term_ref, s_ref,
+def _kernel_rowmax(ntiles_ref, qlens_ref, tlens_ref, term_ref, s_ref,
                    score_ref, gj_ref, gi_ref, fnd_ref, fj_ref, fi_ref,
                    h_scr, e_scr, rbest_scr, rcol_scr,
                    *, TT: int, Lq: int, gap_open: int, gap_extend: int,
@@ -74,48 +74,56 @@ def _kernel_rowmax(qlens_ref, tlens_ref, term_ref, s_ref,
     ge_i = (ge * iota_q.astype(dtype))
     vmax = jnp.maximum
 
-    def blk_step(jb, carry):
-        s_blk = s_ref[:, pl.ds(jb * _UNROLL, _UNROLL), :]
+    # column-tile skipping: tiles at/after this block's max tlen cannot
+    # change any output (col_valid gates every tracker update and H/E
+    # corruption past tlen is unobservable), so the whole DP step is
+    # skipped — the dispatcher sorts pairs by tlen so blocks are
+    # tlen-homogeneous and the padded rung costs ~tlen, not ~Lt
+    @pl.when(j_tile < ntiles_ref[pl.program_id(0)])
+    def _compute():
+        def blk_step(jb, carry):
+            s_blk = s_ref[:, pl.ds(jb * _UNROLL, _UNROLL), :]
 
-        def col_step(k, carry):
-            H, E, rbest, rcol = carry
-            col = j_tile * TT + jb * _UNROLL + k
-            s_col = s_blk[:, k, :].astype(dtype)
-            diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
-            E_new = vmax(E - ge, H - go)
-            Hbase = vmax(vmax(diag + s_col, jnp.asarray(0, dtype)), E_new)
-            x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
-                        constant_values=neg)
-            shift = 1
-            while shift < Lq:
-                x = vmax(x, jnp.pad(x[:, :-shift],
-                                    ((0, 0), (shift, 0)),
-                                    constant_values=neg))
-                shift *= 2
-            F = x - go - (ge_i - ge)
-            H_new = jnp.where(row_valid, vmax(Hbase, F),
-                              jnp.asarray(0, dtype))
-            # columns past tlen may corrupt H/E for their row, but those
-            # values are only ever read by LATER columns of the same row
-            # (also past tlen) — no output depends on them, so the
-            # col_valid write-gates on H/E are dropped; only the row
-            # tracker needs the gate
-            better = (H_new.astype(jnp.int32) > rbest) & (col < tlens)
-            rbest = jnp.where(better, H_new.astype(jnp.int32), rbest)
-            rcol = jnp.where(better, col, rcol)
-            return (H_new, E_new, rbest, rcol)
+            def col_step(k, carry):
+                H, E, rbest, rcol = carry
+                col = j_tile * TT + jb * _UNROLL + k
+                s_col = s_blk[:, k, :].astype(dtype)
+                diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
+                E_new = vmax(E - ge, H - go)
+                Hbase = vmax(vmax(diag + s_col, jnp.asarray(0, dtype)),
+                             E_new)
+                x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
+                            constant_values=neg)
+                shift = 1
+                while shift < Lq:
+                    x = vmax(x, jnp.pad(x[:, :-shift],
+                                        ((0, 0), (shift, 0)),
+                                        constant_values=neg))
+                    shift *= 2
+                F = x - go - (ge_i - ge)
+                H_new = jnp.where(row_valid, vmax(Hbase, F),
+                                  jnp.asarray(0, dtype))
+                # columns past tlen may corrupt H/E for their row, but
+                # those values are only ever read by LATER columns of the
+                # same row (also past tlen) — no output depends on them,
+                # so the col_valid write-gates on H/E are dropped; only
+                # the row tracker needs the gate
+                better = (H_new.astype(jnp.int32) > rbest) & (col < tlens)
+                rbest = jnp.where(better, H_new.astype(jnp.int32), rbest)
+                rcol = jnp.where(better, col, rcol)
+                return (H_new, E_new, rbest, rcol)
 
-        for k in range(_UNROLL):
-            carry = col_step(k, carry)
-        return carry
+            for k in range(_UNROLL):
+                carry = col_step(k, carry)
+            return carry
 
-    carry = (h_scr[:], e_scr[:], rbest_scr[:], rcol_scr[:])
-    carry = jax.lax.fori_loop(0, TT // _UNROLL, blk_step, carry)
-    H, E, rbest, rcol = carry
-    h_scr[:] = H
-    e_scr[:] = E
-    rbest_scr[:] = rbest
-    rcol_scr[:] = rcol
+        carry = (h_scr[:], e_scr[:], rbest_scr[:], rcol_scr[:])
+        carry = jax.lax.fori_loop(0, TT // _UNROLL, blk_step, carry)
+        H, E, rbest, rcol = carry
+        h_scr[:] = H
+        e_scr[:] = E
+        rbest_scr[:] = rbest
+        rcol_scr[:] = rcol
 
     @pl.when(j_tile == n_tiles - 1)
     def _emit():
@@ -136,7 +144,7 @@ def _kernel_rowmax(qlens_ref, tlens_ref, term_ref, s_ref,
         fi_ref[:] = jnp.zeros_like(gmax)
 
 
-def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
+def _kernel(ntiles_ref, qlens_ref, tlens_ref, term_ref, s_ref,
             score_ref, gj_ref, gi_ref, fnd_ref, fj_ref, fi_ref,
             h_scr, e_scr, gmax_scr, gj_scr, gi_scr, fnd_scr, fj_scr, fi_scr,
             *, TT: int, Lq: int, gap_open: int, gap_extend: int,
@@ -176,84 +184,91 @@ def _kernel(qlens_ref, tlens_ref, term_ref, s_ref,
     # targets; there is also no 2x-lane win to be had on v5e itself.
     vmax = jnp.maximum
 
-    def blk_step(jb, carry):
-        # 8-column sub-block with a provably-aligned start; columns
-        # unrolled (also amortizes loop bookkeeping)
-        s_blk = s_ref[:, pl.ds(jb * _UNROLL, _UNROLL), :]
+    # see _kernel_rowmax: tiles past this block's max tlen are
+    # output-neutral and skipped wholesale
+    @pl.when(j_tile < ntiles_ref[pl.program_id(0)])
+    def _compute():
+        def blk_step(jb, carry):
+            # 8-column sub-block with a provably-aligned start; columns
+            # unrolled (also amortizes loop bookkeeping)
+            s_blk = s_ref[:, pl.ds(jb * _UNROLL, _UNROLL), :]
 
-        def col_step(k, carry):
-            # every per-pair carry stays 2-D (BT, 1) int32 — 1-D/bool
-            # loop carries fail Mosaic's scf.for legalization
-            H, E, gmax, gj, gi, found, fj, fi = carry
-            col = j_tile * TT + jb * _UNROLL + k
-            # NB no per-column row mask on s_col: invalid rows (i >=
-            # qlen) sit BELOW all valid rows and H is zeroed there every
-            # column, so neither the diagonal term nor the downward-
-            # flowing F scan can leak garbage into valid rows, and the
-            # column max reads Hmasked.  (Also required for the int16
-            # variant: a NEG mask would overflow diag + s.)
-            s_col = s_blk[:, k, :].astype(dtype)
-            diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
-            E_new = vmax(E - ge, H - go)
-            Hbase = vmax(vmax(diag + s_col, jnp.asarray(0, dtype)), E_new)
-            # F via log-depth running max of (Hbase + ge*i) shifted once
-            x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
-                        constant_values=neg)
-            shift = 1
-            while shift < Lq:
-                x = vmax(x, jnp.pad(x[:, :-shift],
-                                    ((0, 0), (shift, 0)),
-                                    constant_values=neg))
-                shift *= 2
-            F = x - go - (ge_i - ge)
-            H_new = jnp.where(row_valid, vmax(Hbase, F),
-                              jnp.asarray(0, dtype))
+            def col_step(k, carry):
+                # every per-pair carry stays 2-D (BT, 1) int32 — 1-D/bool
+                # loop carries fail Mosaic's scf.for legalization
+                H, E, gmax, gj, gi, found, fj, fi = carry
+                col = j_tile * TT + jb * _UNROLL + k
+                # NB no per-column row mask on s_col: invalid rows (i >=
+                # qlen) sit BELOW all valid rows and H is zeroed there
+                # every column, so neither the diagonal term nor the
+                # downward-flowing F scan can leak garbage into valid
+                # rows, and the column max reads Hmasked.  (Also required
+                # for the int16 variant: a NEG mask would overflow
+                # diag + s.)
+                s_col = s_blk[:, k, :].astype(dtype)
+                diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
+                E_new = vmax(E - ge, H - go)
+                Hbase = vmax(vmax(diag + s_col, jnp.asarray(0, dtype)),
+                             E_new)
+                # F via log-depth running max of (Hbase + ge*i) shifted
+                x = jnp.pad((Hbase + ge_i)[:, :-1], ((0, 0), (1, 0)),
+                            constant_values=neg)
+                shift = 1
+                while shift < Lq:
+                    x = vmax(x, jnp.pad(x[:, :-shift],
+                                        ((0, 0), (shift, 0)),
+                                        constant_values=neg))
+                    shift *= 2
+                F = x - go - (ge_i - ge)
+                H_new = jnp.where(row_valid, vmax(Hbase, F),
+                                  jnp.asarray(0, dtype))
 
-            col_valid = (col < tlens)             # (BT, 1)
-            H_out = jnp.where(col_valid, H_new, H)
-            E_out = jnp.where(col_valid, E_new, E)
+                col_valid = (col < tlens)             # (BT, 1)
+                H_out = jnp.where(col_valid, H_new, H)
+                E_out = jnp.where(col_valid, E_new, E)
 
-            Hmasked = jnp.where(row_valid, H_new.astype(jnp.int32), -1)
-            cmax = jnp.max(Hmasked, axis=1, keepdims=True)   # (BT, 1)
-            # first-maximum argmax (Mosaic lacks integer argmax)
-            ci = jnp.min(jnp.where(Hmasked == cmax, iota_q, jnp.int32(Lq)),
-                         axis=1, keepdims=True).astype(jnp.int32)
-            better = col_valid & (cmax > gmax)
-            gmax = jnp.where(better, cmax, gmax)
-            gj = jnp.where(better, col, gj)
-            gi = jnp.where(better, ci, gi)
-            if with_terminate:
-                hit = col_valid & (found == 0) & (cmax == term)
-                fj = jnp.where(hit, col, fj)
-                fi = jnp.where(hit, ci, fi)
-                found = jnp.where(hit, 1, found)
-            return (H_out, E_out, gmax, gj, gi, found, fj, fi)
+                Hmasked = jnp.where(row_valid, H_new.astype(jnp.int32), -1)
+                cmax = jnp.max(Hmasked, axis=1, keepdims=True)   # (BT, 1)
+                # first-maximum argmax (Mosaic lacks integer argmax)
+                ci = jnp.min(jnp.where(Hmasked == cmax, iota_q,
+                                       jnp.int32(Lq)),
+                             axis=1, keepdims=True).astype(jnp.int32)
+                better = col_valid & (cmax > gmax)
+                gmax = jnp.where(better, cmax, gmax)
+                gj = jnp.where(better, col, gj)
+                gi = jnp.where(better, ci, gi)
+                if with_terminate:
+                    hit = col_valid & (found == 0) & (cmax == term)
+                    fj = jnp.where(hit, col, fj)
+                    fi = jnp.where(hit, ci, fi)
+                    found = jnp.where(hit, 1, found)
+                return (H_out, E_out, gmax, gj, gi, found, fj, fi)
 
-        for k in range(_UNROLL):
-            carry = col_step(k, carry)
-        return carry
+            for k in range(_UNROLL):
+                carry = col_step(k, carry)
+            return carry
 
-    carry = (h_scr[:], e_scr[:], gmax_scr[:], gj_scr[:], gi_scr[:],
-             fnd_scr[:], fj_scr[:], fi_scr[:])
-    carry = jax.lax.fori_loop(0, TT // _UNROLL, blk_step, carry)
-    H, E, gmax, gj, gi, found, fj, fi = carry
-    h_scr[:] = H
-    e_scr[:] = E
-    gmax_scr[:] = gmax
-    gj_scr[:] = gj
-    gi_scr[:] = gi
-    fnd_scr[:] = found
-    fj_scr[:] = fj
-    fi_scr[:] = fi
+        carry = (h_scr[:], e_scr[:], gmax_scr[:], gj_scr[:], gi_scr[:],
+                 fnd_scr[:], fj_scr[:], fi_scr[:])
+        carry = jax.lax.fori_loop(0, TT // _UNROLL, blk_step, carry)
+        H, E, gmax, gj, gi, found, fj, fi = carry
+        h_scr[:] = H
+        e_scr[:] = E
+        gmax_scr[:] = gmax
+        gj_scr[:] = gj
+        gi_scr[:] = gi
+        fnd_scr[:] = found
+        fj_scr[:] = fj
+        fi_scr[:] = fi
 
     @pl.when(j_tile == n_tiles - 1)
     def _emit():
-        score_ref[:] = gmax
-        gj_ref[:] = gj
-        gi_ref[:] = gi
-        fnd_ref[:] = found
-        fj_ref[:] = fj
-        fi_ref[:] = fi
+        score_ref[:] = gmax_scr[:]
+        gj_ref[:] = gj_scr[:]
+        gi_ref[:] = gi_scr[:]
+        fnd_ref[:] = fnd_scr[:]
+        fj_ref[:] = fj_scr[:]
+        fi_ref[:] = fi_scr[:]
 
 
 @functools.partial(
@@ -299,7 +314,7 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
     # caller guarantees max H + Lq stays under 2^15 (DeviceAlignDB
     # computes a per-DB score upper bound)
     dt = jnp.int16 if use16 else jnp.int32
-    vec = lambda: pl.BlockSpec((BT, 1), lambda i, j: (i, 0),
+    vec = lambda: pl.BlockSpec((BT, 1), lambda i, j, nt: (i, 0),
                                memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((B, 1), jnp.int32)] * 6
     if per_column:
@@ -327,17 +342,31 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
             pltpu.VMEM((BT, Lq), jnp.int32),     # per-row best
             pltpu.VMEM((BT, Lq), jnp.int32),     # first achieving col
         ]
-    outs = pl.pallas_call(
-        kern,
+    # per-BT-block count of ACTIVE column tiles (ceil(max tlen / TT));
+    # the kernels skip the DP wholesale for tiles past it, and the S
+    # index map clamps so skipped blocks are never even DMA'd (repeat
+    # block index -> the pipeline keeps the previous block).  Dispatch
+    # sorts pairs by tlen, so blocks are tlen-homogeneous and the padded
+    # rung costs ~max tlen per block instead of ~Lt.
+    ntiles = ((jnp.max(tlens.astype(jnp.int32).reshape(B // BT, BT),
+                       axis=1) + TT - 1) // TT).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[vec(), vec(), vec(),
-                  pl.BlockSpec((BT, TT, Lq), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(
+                      (BT, TT, Lq),
+                      lambda i, j, nt: (i, jnp.minimum(j, nt[i] - 1), 0),
+                      memory_space=pltpu.VMEM)],
         out_specs=[vec() for _ in range(6)],
-        out_shape=out_shapes,
         scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
         interpret=interpret,
-    )(qlens.reshape(B, 1), tlens.reshape(B, 1),
+    )(ntiles, qlens.reshape(B, 1), tlens.reshape(B, 1),
       terminate.reshape(B, 1), S)
     score, gj, gi, fnd, fj, fi = [o[:, 0] for o in outs]
     if all_outputs:

@@ -390,17 +390,23 @@ class AlignmentEngine:
         """Stage 2 for one pair fragment: E-value/end-coverage filters
         (vectorized) -> survivor tuples + {global pair idx: local surv
         idx} (the reverse-pass batch)."""
-        par = self.par
-        surv_of_pair: dict[int, int] = {}
-        survivors: list[tuple[int, int, int, int, int, float]] = []
         if not pairs:
-            return survivors, surv_of_pair
+            return [], {}
         n = len(pairs)
         pqk = np.fromiter((p[0] for p in pairs), np.int64, n)
         ptk = np.fromiter((p[1] for p in pairs), np.int64, n)
         scores = np.fromiter((f[0] for f in fwd), np.int64, n)
         q_ends = np.fromiter((f[1] for f in fwd), np.int64, n)
         t_ends = np.fromiter((f[2] for f in fwd), np.int64, n)
+        return self._survivor_filter_arrays(pqk, ptk, scores, q_ends,
+                                            t_ends, pair_base)
+
+    def _survivor_filter_arrays(self, pqk, ptk, scores, q_ends, t_ends,
+                                pair_base: int = 0):
+        """Array-based survivor filter (the streaming driver decodes
+        forward results straight into flat arrays)."""
+        par = self.par
+        n = len(pqk)
         qlens = self.qdb.lengths[pqk].astype(np.int64)
         tlens = self.tdb.lengths[ptk].astype(np.int64)
         evalues = self.evaluer.compute_evalue(scores, qlens)
@@ -409,6 +415,8 @@ class AlignmentEngine:
         keep = ((t_ends >= 0) & (evalues <= par.eval_thr)
                 & _has_coverage_vec(par.cov_thr, par.cov_mode,
                                     qcov0, tcov0))
+        surv_of_pair: dict[int, int] = {}
+        survivors: list[tuple[int, int, int, int, int, float]] = []
         for pi in np.nonzero(keep)[0]:
             surv_of_pair[pair_base + int(pi)] = len(survivors)
             survivors.append((int(pqk[pi]), int(ptk[pi]),
@@ -971,11 +979,16 @@ class AlignmentEngine:
 
 class _AlignStream:
     """Incremental alignment driver: candidate fragments stream in (from
-    the chunked prefilter), forward SW batches dispatch asynchronously to
-    the device as each fragment arrives, and finish() runs the single
-    collect + reverse pass + traceback.  Device scoring of fragment k
-    overlaps the host prefilter of fragments k+1.. — the align stage's
-    visible wall-clock shrinks to its post-forward tail."""
+    the chunked prefilter) and their forward SW pairs are ENQUEUED into
+    the device engine's per-rung buffers; every full super-batch
+    (super_k x batch_width pairs, one device execution) dispatches
+    asynchronously, overlapping device scoring with the host prefilter
+    of later fragments.  finish() flushes the tails, collects all
+    forward results in one transfer, filters survivors, and runs the
+    reverse pass + traceback.  Buffering across fragments keeps device
+    executions full-width — round 4 dispatched each fragment's partial
+    batches immediately and spent 137 s of the scale run's align stage
+    on ~4800 per-batch link round trips."""
 
     def __init__(self, eng: AlignmentEngine):
         self.eng = eng
@@ -983,13 +996,8 @@ class _AlignStream:
         self.pairs: list[tuple[int, int]] = []
         self._dev = None
         self._dev_checked = False
-        # device pipeline state: queued forward fragments awaiting
-        # absorption, global survivor list, dispatched reverse batches
-        self._fwd_queue: list[tuple[int, int, list, list]] = []
-        self._survivors: list = []
-        self._surv_of_pair: dict[int, int] = {}
-        self._rev_pending: list = []
-        self._host_starts: dict[int, tuple[int, int]] = {}
+        self._fwd_pending: list = []
+        self._fwd_host: list = []     # (global pair idx, host result)
 
     def add(self, candidates: dict[int, list[int]]) -> None:
         eng = self.eng
@@ -1011,11 +1019,10 @@ class _AlignStream:
             long_loc = [i for i, (qk, tk) in enumerate(frag)
                         if max(int(ql_all[qk]), int(tl_all[tk]))
                         > device_max_len()]
-            host_res: list = []
             if long_loc:
                 # over-ladder pairs score on the unbounded host path
                 # (synchronously; such pairs are rare)
-                host_res = list(zip(
+                self._fwd_host += list(zip(
                     (frag_start + i for i in long_loc),
                     eng._run_forward_host([frag[i] for i in long_loc])))
                 long_set = set(long_loc)
@@ -1026,60 +1033,51 @@ class _AlignStream:
             pos = np.fromiter((frag_start + i for i in dev_loc), np.int64)
             jobs = eng._forward_jobs([frag[i] for i in dev_loc], 0,
                                      positions=pos)
-            pend = self._dev.dispatch(jobs, eng.par.gap_open,
-                                      eng.par.gap_extend, reverse=False)
-            self._fwd_queue.append((frag_start, len(self.pairs), pend,
-                                    host_res))
-            # absorb older fragments (their device work overlapped this
-            # fragment's prefilter): filter survivors, dispatch reverse
-            while len(self._fwd_queue) > 1:
-                self._absorb(*self._fwd_queue.pop(0))
-
-    def _absorb(self, start: int, end: int, pend: list,
-                host_res: list) -> None:
-        eng = self.eng
-        from ..ops.sw_engine import device_max_len
-        frag_pairs = self.pairs[start:end]
-        fwd: list = [None] * len(self.pairs)
-        eng._decode_forward(self._dev.collect(pend), fwd)
-        for pidx, r in host_res:
-            fwd[pidx] = r
-        surv, sop = eng._survivor_filter(frag_pairs, fwd[start:end], start)
-        base = len(self._survivors)
-        self._surv_of_pair.update(
-            {pi: base + si for pi, si in sop.items()})
-        self._survivors.extend(surv)
-        if surv:
-            long_loc = [i for i, s in enumerate(surv)
-                        if max(s[3] + 1, s[4] + 1) > device_max_len()]
-            if long_loc:
-                for i, st in zip(long_loc, eng._run_reverse_host(
-                        [surv[i] for i in long_loc])):
-                    self._host_starts[base + i] = st
-                long_set = set(long_loc)
-                dev_loc = [i for i in range(len(surv))
-                           if i not in long_set]
-            else:
-                dev_loc = list(range(len(surv)))
-            if dev_loc:
-                pos = np.fromiter((base + i for i in dev_loc), np.int64)
-                jobs = eng._reverse_jobs([surv[i] for i in dev_loc], 0,
-                                         positions=pos)
-                self._rev_pending += self._dev.dispatch(
-                    jobs, eng.par.gap_open, eng.par.gap_extend,
-                    reverse=True)
+            self._fwd_pending += self._dev.enqueue(
+                jobs, eng.par.gap_open, eng.par.gap_extend, reverse=False)
 
     def finish(self) -> dict[int, list[AlnRecord]]:
         eng = self.eng
         if self._dev is None:
             fwd = eng._run_forward(self.pairs)
             return eng._post_forward(self.items, self.pairs, fwd)
-        while self._fwd_queue:
-            self._absorb(*self._fwd_queue.pop(0))
-        starts: list = [None] * len(self._survivors)
-        eng._decode_reverse(self._dev.collect(self._rev_pending),
-                            self._survivors, starts)
-        for sidx, st in self._host_starts.items():
-            starts[sidx] = st
-        recs = eng._finish_pairs(self._survivors, starts)
-        return eng._accept_stage(self.items, self._surv_of_pair, recs)
+        from ..ops.sw_engine import device_max_len
+        self._fwd_pending += self._dev.flush(
+            eng.par.gap_open, eng.par.gap_extend, reverse=False)
+        n = len(self.pairs)
+        score = np.zeros(n, np.int64)
+        q_end = np.zeros(n, np.int64)
+        t_end = np.full(n, -1, np.int64)
+        for pos, (s, te, qe, _f, _fj, _fi) in \
+                self._dev.collect(self._fwd_pending):
+            score[pos] = s
+            t_end[pos] = te
+            q_end[pos] = qe
+        for pidx, (s, qe, te) in self._fwd_host:
+            score[pidx], q_end[pidx], t_end[pidx] = s, qe, te
+        pqk = np.fromiter((p[0] for p in self.pairs), np.int64, n)
+        ptk = np.fromiter((p[1] for p in self.pairs), np.int64, n)
+        survivors, surv_of_pair = eng._survivor_filter_arrays(
+            pqk, ptk, score, q_end, t_end)
+        starts: list = [None] * len(survivors)
+        if survivors:
+            long_loc = [i for i, s in enumerate(survivors)
+                        if max(s[3] + 1, s[4] + 1) > device_max_len()]
+            long_set = set(long_loc)
+            dev_loc = [i for i in range(len(survivors))
+                       if i not in long_set]
+            if dev_loc:
+                pos = np.fromiter(dev_loc, np.int64)
+                jobs = eng._reverse_jobs(
+                    [survivors[i] for i in dev_loc], 0, positions=pos)
+                pend = self._dev.enqueue(jobs, eng.par.gap_open,
+                                         eng.par.gap_extend, reverse=True)
+                pend += self._dev.flush(eng.par.gap_open,
+                                        eng.par.gap_extend, reverse=True)
+                eng._decode_reverse(self._dev.collect(pend), survivors,
+                                    starts)
+            for i, st in zip(long_loc, eng._run_reverse_host(
+                    [survivors[i] for i in long_loc])):
+                starts[i] = st
+        recs = eng._finish_pairs(survivors, starts)
+        return eng._accept_stage(self.items, surv_of_pair, recs)

@@ -139,7 +139,13 @@ def main() -> None:
     for src, tag in SOURCES:
         genes = read_faa(src)
         for g in range(n_per_source):
-            rng = np.random.default_rng([seed, hash(tag) & 0xFFFF, g])
+            # NB zlib.crc32, NOT hash(): str hashing is salted per process
+            # (PYTHONHASHSEED), which silently made every regeneration a
+            # DIFFERENT workload — the round-4 README-vs-driver benchmark
+            # discrepancy traced back to exactly this
+            import zlib
+            rng = np.random.default_rng(
+                [seed, zlib.crc32(tag.encode()) & 0xFFFF, g])
             acc = f"{tag}{g:03d}.1"
             text = evolve_genome(genes, acc, rng, cond)
             p = outdir / f"{acc}.faa"
