@@ -213,7 +213,42 @@ struct QueryScratch {
   std::vector<float> bias_buf;
   std::vector<int32_t> touched;
   std::vector<uint16_t> seen_diag;
+  // pending posting-range ring for the pipelined lookup loop: ranges
+  // wait here (first lines prefetched) before being copied into
+  // `matches`, in discovery order
+  struct PendRange { int32_t lo, hi, w; };
+  static constexpr int kRing = 8;
+  PendRange ring[kRing];
+  uint32_t rhead = 0, rtail = 0;
 };
+
+void detect_round(QueryScratch& S, int32_t arrival_base);
+
+// Copy the oldest pending posting range into S.matches (raw-cursor
+// append), applying the bounded-buffer overflow round EXACTLY as the
+// scalar loop did: flush-before-copy when this range would overflow.
+inline void drain_one(QueryScratch& S, const int32_t* post_seq,
+                      const int32_t* post_pos, int64_t match_cap,
+                      int64_t& total_raw, int32_t& arrival_base,
+                      int& rounds) {
+  const QueryScratch::PendRange pr =
+      S.ring[S.rtail & (QueryScratch::kRing - 1)];
+  ++S.rtail;
+  std::vector<Match>& matches = S.matches;
+  if (static_cast<int64_t>(matches.size()) + (pr.hi - pr.lo) > match_cap
+      && !matches.empty()) {
+    const int32_t n_round = static_cast<int32_t>(matches.size());
+    total_raw += n_round;
+    detect_round(S, arrival_base);
+    arrival_base += n_round;
+    ++rounds;
+  }
+  const size_t base = matches.size();
+  matches.resize(base + (pr.hi - pr.lo));
+  Match* dst = matches.data() + base;
+  for (int32_t p = pr.lo; p < pr.hi; ++p)
+    *dst++ = {post_seq[p], static_cast<uint16_t>(pr.w - post_pos[p])};
+}
 
 // Detection phase for ONE round of the match buffer: arrival-ordered
 // double-diagonal detection over S.matches, appending candidates to
@@ -519,6 +554,9 @@ int prefilter_match_batch(
     match_cap = 2 * std::max<int64_t>(1000000, nt);
   int64_t total_raw = 0;
   const bool prof_on = getenv("SPACEDUST_PREF_PROFILE") != nullptr;
+  // fine mode (=2): split generation from posting probe/copy inside the
+  // window loop (adds ~2 timer calls per window; measurement only)
+  const bool prof_fine = prof_on && getenv("SPACEDUST_PREF_PROFILE")[0] == '2';
   double t_lookup = 0, t_group = 0, t_rescore = 0, t_emit = 0;
 
 #pragma omp parallel reduction(+ : total_raw) \
@@ -551,6 +589,7 @@ int prefilter_match_batch(
       double tp0 = prof_on ? prof_now() : 0;
       const int nw = L - span + 1;
       for (int w = 0; w < nw; ++w) {
+        if (prof_fine) tp0 = prof_now();
         // spaced k-mer residues; X excluded (Prefiltering.cpp:530-533)
         int r[8];
         bool ok = true;
@@ -596,17 +635,42 @@ int prefilter_match_batch(
           generate_generic(parts, n_parts, r, thr, gen_kmers, gen_a, gen_b);
           if (gen_kmers.empty()) continue;
         }
+        if (prof_fine) { t_group += prof_now() - tp0; tp0 = prof_now(); }
 
         // posting lookups: the 8 MB occupancy bitmap screens the ~97%
         // empty k-mers, survivors probe the compact hash (1-2 probes
-        // expected at 50% load), with software prefetch on the bitmap
+        // expected at 50% load).  The loop is software-pipelined: the
+        // bitmap line is prefetched kAhead iterations out, the hash
+        // slot kSlotAhead iterations out, and found posting RANGES park
+        // in a small ring (their first lines prefetched) so the
+        // dependent loads of probe->range->copy overlap across
+        // iterations instead of serializing on each cache miss — this
+        // stage is ~50% of the engine's CPU time at scale and is
+        // latency-, not compute-, bound.  Copy order (and therefore the
+        // bounded-buffer overflow-round semantics, which drain_one
+        // checks before each range copy) is IDENTICAL to the scalar
+        // loop's.
         const size_t ng = gen_kmers.size();
         const uint64_t hmask = static_cast<uint64_t>(hcap) - 1;
         constexpr size_t kAhead = 16;
+        constexpr size_t kSlotAhead = 6;
         for (size_t t = 0; t < ng; ++t) {
           if (t + kAhead < ng)
             __builtin_prefetch(
                 &occupied[static_cast<uint32_t>(gen_kmers[t + kAhead]) >> 6]);
+          if (t + kSlotAhead < ng) {
+            // speculative hash-slot prefetch for a k-mer whose bitmap
+            // line is already cached (kSlotAhead < kAhead)
+            const int32_t km2 = gen_kmers[t + kSlotAhead];
+            if (occupied[static_cast<uint32_t>(km2) >> 6]
+                & (1ull << (km2 & 63))) {
+              const uint64_t s2 =
+                  (static_cast<uint32_t>(km2) * 2654435761u) & hmask;
+              __builtin_prefetch(&hkeys[s2]);
+              __builtin_prefetch(&hoff[s2]);
+              __builtin_prefetch(&hcnt[s2]);
+            }
+          }
           const int32_t km = gen_kmers[t];
           if (!(occupied[static_cast<uint32_t>(km) >> 6]
                 & (1ull << (km & 63))))
@@ -619,24 +683,19 @@ int prefilter_match_batch(
           if (slot == static_cast<uint64_t>(hcap)) continue;
           const int32_t lo = hoff[slot];
           const int32_t hi = lo + hcnt[slot];
-          if (static_cast<int64_t>(matches.size()) + (hi - lo) > match_cap
-              && !matches.empty()) {
-            // buffer overflow: process this round's detections and
-            // restart (the overflowing posting list moves whole into
-            // the next round, as the reference flushes BEFORE memcpy)
-            const int32_t n_round = static_cast<int32_t>(matches.size());
-            total_raw += n_round;
-            detect_round(S, arrival_base);
-            arrival_base += n_round;
-            ++rounds;
-          }
-          for (int32_t p = lo; p < hi; ++p) {
-            matches.push_back(
-                {post_seq[p],
-                 static_cast<uint16_t>(w - post_pos[p])});
-          }
+          __builtin_prefetch(&post_seq[lo]);
+          __builtin_prefetch(&post_pos[lo]);
+          if (S.rhead - S.rtail == QueryScratch::kRing)
+            drain_one(S, post_seq, post_pos, match_cap, total_raw,
+                      arrival_base, rounds);
+          S.ring[S.rhead & (QueryScratch::kRing - 1)] = {lo, hi, w};
+          ++S.rhead;
         }
+        if (prof_fine) { t_rescore += prof_now() - tp0; tp0 = prof_now(); }
       }
+      while (S.rhead != S.rtail)
+        drain_one(S, post_seq, post_pos, match_cap, total_raw,
+                  arrival_base, rounds);
       total_raw += static_cast<int64_t>(matches.size());
       if (prof_on) { t_lookup += prof_now() - tp0; tp0 = prof_now(); }
 

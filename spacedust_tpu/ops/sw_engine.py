@@ -50,7 +50,7 @@ _BATCH_FOR_RUNG = {256: 2048, 384: 2048, 512: 1024, 1024: 512, 2048: 128,
 # round trips.  K is sized so one super-execution carries ~100-200 ms of
 # DP compute (overhead <10%) while tail-padding waste stays below one
 # super per (rung, direction).
-_SUPER_K = {256: 16, 384: 8, 512: 8, 1024: 4, 2048: 4, 4096: 4, 32768: 1}
+_SUPER_K = {256: 16, 384: 8, 512: 8, 1024: 8, 2048: 8, 4096: 8, 32768: 1}
 
 # device-resident layout: sequence starts are padded to 1024-token
 # alignment so the panel gather can run as per-row HBM->VMEM DMAs (the

