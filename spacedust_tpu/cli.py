@@ -391,6 +391,18 @@ def _run_search(qdb, tdb, a, same_qt_db: bool):
     """Prefilter + align; returns {query_key: [AlnRecord]}."""
     from .search.alignment import AlignmentEngine, AlignmentParams
     from .search.prefilter import PrefilterEngine
+    if getattr(a, "num_iterations", 1) > 1:
+        from .search.iterative import (IterativeSearchConfig,
+                                       search_iterative)
+        cfg = IterativeSearchConfig(
+            num_iterations=a.num_iterations, sensitivity=a.sensitivity,
+            max_seqs=a.max_seqs, eval_thr=a.eval_thr,
+            eval_profile=a.e_profile, cov_thr=a.cov_thr,
+            cov_mode=a.cov_mode, aln_len_thr=a.aln_len_thr,
+            gap_open=a.gap_open, gap_extend=a.gap_extend,
+            mask=bool(a.mask),
+            comp_bias_correction=bool(a.comp_bias_corr))
+        return search_iterative(qdb, tdb, cfg, same_qt_db=same_qt_db)
     pref = PrefilterEngine(qdb, tdb, sensitivity=a.sensitivity,
                            max_seqs=a.max_seqs, same_qt_db=same_qt_db,
                            comp_bias_correction=bool(a.comp_bias_corr),
@@ -464,6 +476,14 @@ def cmd_search(argv: list[str]) -> int:
     p.add_argument("--max-accept", type=int, default=2147483647)
     p.add_argument("--max-rejected", type=int, default=2147483647)
     p.add_argument("--alt-ali", type=int, default=0)
+    p.add_argument("--num-iterations", type=int, default=1,
+                   help="iterative profile search rounds (the blastpgp.sh "
+                        "path, workflow/Search.cpp:202): round 0 searches "
+                        "sequences and realigns, later rounds search with "
+                        "result2profile PSSMs, subtracting prior hits")
+    p.add_argument("--e-profile", type=float, default=0.1,
+                   help="profile inclusion E-value; intermediate rounds "
+                        "run at min(-e, --e-profile) (Search.cpp:482)")
     p.add_argument("--format-mode", type=int, default=0,
                    help="0: key-prefixed alignment TSV, 4: BLAST-tab "
                         "with column headers, 1: BLAST-tab")
