@@ -55,7 +55,18 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--split-memory-limit", type=int, default=0,
                    help="bytes; bound the per-split k-mer index "
                         "(out-of-core target splits), 0 = off")
-    p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--threads", type=int, default=0,
+                   help="cap OpenMP threads in the native engines "
+                        "(0 = all cores, the reference default)")
+    p.add_argument("-k", "--kmer-size", type=int, default=0,
+                   help="seed k-mer size (0 = auto: 6, or 7 above "
+                        "3.35 G residues — IndexTable.h:439-441)")
+    p.add_argument("--spaced-kmer-mode", type=int, default=1,
+                   help="1: spaced seed pattern (default), 0: "
+                        "consecutive k-mer")
+    p.add_argument("--max-seq-len", type=int, default=65535,
+                   help="reject sequences longer than this "
+                        "(Parameters.cpp maxSeqLen default 65535)")
     p.add_argument("--search-mode", type=int, default=0,
                    help="0: sequence, 1: foldseek-mapped structure + "
                         "unmapped sequence, 2: structure (3Di) search")
@@ -76,6 +87,28 @@ def _add_clustersearch_args(p: argparse.ArgumentParser) -> None:
                         "SPACEDUST_{COORDINATOR,NUM_PROCS,PROC_ID}.")
     p.add_argument("--multihost-local-devices", type=int, default=1,
                    help="virtual/real devices per multihost worker")
+
+
+def _apply_threads(n: int) -> None:
+    """--threads: cap the native engines' OpenMP team (Parameters
+    PARAM_THREADS; 0 keeps the all-cores default)."""
+    if n and n > 0:
+        import os
+        os.environ["OMP_NUM_THREADS"] = str(n)   # for worker processes
+        from .native import set_num_threads
+        set_num_threads(n)
+
+
+def _check_max_seq_len(db, max_seq_len: int) -> None:
+    """--max-seq-len (Parameters maxSeqLen, default 65535): hard input
+    bound; longer sequences are rejected up front with their names."""
+    import numpy as np
+    too_long = np.nonzero(db.lengths > max_seq_len)[0]
+    if len(too_long):
+        names = ", ".join(db.names[int(k)] for k in too_long[:5])
+        raise SystemExit(
+            f"error: {len(too_long)} sequence(s) exceed --max-seq-len "
+            f"{max_seq_len} (first: {names}); raise --max-seq-len")
 
 
 def cmd_createsetdb(argv: list[str]) -> int:
@@ -121,7 +154,12 @@ def cmd_clustersearch(argv: list[str]) -> int:
         mask=bool(a.mask), comp_bias_correction=bool(a.comp_bias_corr),
         split_memory_limit=a.split_memory_limit,
         profile_cluster_search=a.profile_cluster_search,
-        search_mode=a.search_mode)
+        search_mode=a.search_mode,
+        kmer_size=a.kmer_size, spaced_kmer_mode=a.spaced_kmer_mode)
+    _apply_threads(a.threads)
+    _check_max_seq_len(qdb, a.max_seq_len)
+    if tdb is not qdb:
+        _check_max_seq_len(tdb, a.max_seq_len)
     if a.multihost and a.multihost > 1:
         if a.target_db != a.query_db:
             p.error("--multihost currently requires query_db == target_db")
@@ -407,7 +445,10 @@ def _run_search(qdb, tdb, a, same_qt_db: bool):
                            max_seqs=a.max_seqs, same_qt_db=same_qt_db,
                            comp_bias_correction=bool(a.comp_bias_corr),
                            mask=bool(a.mask),
-                           cov_thr=a.cov_thr, cov_mode=a.cov_mode)
+                           cov_thr=a.cov_thr, cov_mode=a.cov_mode,
+                           kmer_size=getattr(a, "kmer_size", 0) or None,
+                           spaced_kmer_mode=getattr(a, "spaced_kmer_mode",
+                                                    1))
     cands = {qk: [h.seq_id for h in hits]
              for qk, hits in pref.match_all().items()}
     aln_par = AlignmentParams(gap_open=a.gap_open, gap_extend=a.gap_extend,
@@ -476,6 +517,13 @@ def cmd_search(argv: list[str]) -> int:
     p.add_argument("--max-accept", type=int, default=2147483647)
     p.add_argument("--max-rejected", type=int, default=2147483647)
     p.add_argument("--alt-ali", type=int, default=0)
+    p.add_argument("--threads", type=int, default=0,
+                   help="cap OpenMP threads in the native engines")
+    p.add_argument("-k", "--kmer-size", type=int, default=0,
+                   help="seed k-mer size (0 = auto by DB size)")
+    p.add_argument("--spaced-kmer-mode", type=int, default=1,
+                   help="1: spaced seed pattern (default), 0: consecutive")
+    p.add_argument("--max-seq-len", type=int, default=65535)
     p.add_argument("--num-iterations", type=int, default=1,
                    help="iterative profile search rounds (the blastpgp.sh "
                         "path, workflow/Search.cpp:202): round 0 searches "
@@ -496,6 +544,10 @@ def cmd_search(argv: list[str]) -> int:
         return _run_nucl_search(a)
     qdb = SetDB.load(a.query_db)
     tdb = qdb if a.target_db == a.query_db else SetDB.load(a.target_db)
+    _apply_threads(a.threads)
+    _check_max_seq_len(qdb, a.max_seq_len)
+    if tdb is not qdb:
+        _check_max_seq_len(tdb, a.max_seq_len)
     records = _run_search(qdb, tdb, a, same_qt_db=a.target_db == a.query_db)
     n = sum(len(v) for v in records.values())
     if a.format_mode in (1, 4):

@@ -796,3 +796,13 @@ def banded_align_batch(qdata, qoffs, tdata, toffs, bias_data, mat_int8,
     ops = [raw[int(out_offs[i]):int(out_offs[i]) + int(out_len[i])]
            .decode("ascii") for i in range(n)]
     return ops, out_ident
+
+
+def set_num_threads(n: int) -> None:
+    """--threads analog: cap the OpenMP team of every native engine."""
+    lib = get_lib()
+    if not hasattr(lib, "spacedust_set_threads"):
+        return
+    lib.spacedust_set_threads.restype = ctypes.c_int
+    lib.spacedust_set_threads.argtypes = [ctypes.c_int]
+    lib.spacedust_set_threads(int(n))

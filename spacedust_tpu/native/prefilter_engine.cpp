@@ -1319,3 +1319,14 @@ int build_kmer_hash(const int32_t* post_kmer, int64_t n_post,
 
 
 }  // extern "C"
+
+// --threads support (Parameters PARAM_THREADS analog): cap the OpenMP
+// team for every native engine in this process.
+extern "C" int spacedust_set_threads(int n) {
+#if defined(_OPENMP)
+  // n <= 0 restores the all-cores default (the reference's
+  // --threads 0 behavior)
+  omp_set_num_threads(n > 0 ? n : omp_get_num_procs());
+#endif
+  return n;
+}

@@ -73,6 +73,12 @@ def _try_init_distributed() -> tuple[int, int]:
                 jax.distributed.initialize(coordinator_address=coord,
                                            num_processes=n_procs,
                                            process_id=proc_id)
+                # marker for tests/ops: the pod handshake path actually
+                # ran (jax.process_count() now reflects the cluster)
+                sentinel = os.environ.get("SPACEDUST_DISTRIBUTED_SENTINEL")
+                if sentinel:
+                    Path(sentinel).with_suffix(f".rank{proc_id}").write_text(
+                        f"{jax.process_index()}/{jax.process_count()}")
         except Exception as e:      # noqa: BLE001 — fs barrier fallback
             print(f"[multihost] jax.distributed unavailable ({e}); "
                   "using filesystem barrier", file=sys.stderr)

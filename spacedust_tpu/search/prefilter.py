@@ -51,10 +51,25 @@ KMER_PATTERNS = {
 KMER_SPANS = {6: 10, 7: 11}
 
 
+def kmer_pattern(kmer_size: int, spaced: bool = True) -> np.ndarray:
+    """Seed pattern for one k: the spaced pattern (Sequence.h:24-33,
+    --spaced-kmer-mode 1, the default) or the consecutive window
+    (--spaced-kmer-mode 0, Sequence.cpp spacedKmer=false)."""
+    if spaced:
+        return KMER_PATTERNS[kmer_size]
+    return np.arange(kmer_size, dtype=np.int32)
+
+
+# IndexTable::computeKmerSize boundary (IndexTable.h:439-441); module
+# constant so tests can scale it down and exercise the size-triggered
+# k=7 path end-to-end without a 3.35 G-residue database
+K7_THRESHOLD_RESIDUES = 3350000000
+
+
 def compute_kmer_size(total_residues: int) -> int:
     """IndexTable::computeKmerSize (IndexTable.h:439-441): k=6 below
     ~3.35 G residues, k=7 above."""
-    return 6 if total_residues < 3350000000 else 7
+    return 6 if total_residues < K7_THRESHOLD_RESIDUES else 7
 
 
 def kmer_score_threshold(sensitivity: float, kmer_size: int = 6,
@@ -210,11 +225,13 @@ def kmer_parts(kmer_size: int) -> list[int]:
     return parts[::-1]
 
 
-def spaced_kmers(seq: np.ndarray, kmer_size: int = 6
+def spaced_kmers(seq: np.ndarray, kmer_size: int = 6,
+                 pattern: np.ndarray | None = None
                  ) -> tuple[np.ndarray, np.ndarray]:
     """All spaced k-mer windows: returns (window_starts, kmer_residues (N,k))."""
-    pattern = KMER_PATTERNS[kmer_size]
-    span = KMER_SPANS[kmer_size]
+    if pattern is None:
+        pattern = KMER_PATTERNS[kmer_size]
+    span = int(pattern[-1]) + 1
     L = len(seq)
     n = L - span + 1
     if n <= 0:
@@ -243,11 +260,14 @@ class KmerIndex:
 
     def __init__(self, target_db: SetDB, kmer_thr: int,
                  seed_matrix: SubstitutionMatrix | None = None,
-                 mask: bool = True, kmer_size: int = 6):
+                 mask: bool = True, kmer_size: int = 6,
+                 pattern: np.ndarray | None = None):
         self.tdb = target_db
         self.seed = seed_matrix or load_pinned_matrix("vtml80_bf8_bias")
         self.kmer_thr = kmer_thr
         self.kmer_size = kmer_size
+        self.pattern = (pattern if pattern is not None
+                        else KMER_PATTERNS[kmer_size])
         self.masked = (mask_sequences(target_db, self.seed) if mask
                        else [target_db.sequence(k) for k in range(target_db.size)])
 
@@ -267,7 +287,8 @@ class KmerIndex:
         km, sid, pos = build_kmer_index(
             self.t_data, self.t_offsets, lens.astype(np.int32),
             np.diagonal(self.seed.sub_int).astype(np.int32),
-            X_INDEX, self.kmer_thr, kmer_size=self.kmer_size)
+            X_INDEX, self.kmer_thr, kmer_size=self.kmer_size,
+            pattern=self.pattern)
         self.kmers = km.astype(np.int64)
         self.seq_ids = sid
         self.positions = pos
@@ -283,8 +304,8 @@ class KmerIndex:
         data = self.t_data
         L = len(data)
         n_seq = len(lens)
-        span = KMER_SPANS[self.kmer_size]
-        pattern = KMER_PATTERNS[self.kmer_size]
+        pattern = self.pattern
+        span = int(pattern[-1]) + 1
         if L < span or n_seq == 0:
             self.kmers, self.seq_ids, self.positions = empty
             return
@@ -292,7 +313,7 @@ class KmerIndex:
         starts = np.arange(L - span + 1, dtype=np.int64)
         # windows must not straddle a sequence boundary
         ok = seq_of[starts] == seq_of[starts + span - 1]
-        kmers6 = data[starts[:, None] + pattern[None, :]]
+        kmers6 = data[starts[:, None] + pattern[None, :].astype(np.int64)]
         ok &= ~(kmers6 == X_INDEX).any(axis=1)
         if self.kmer_thr > 0:
             # only k-mers with self-score >= threshold are indexed
@@ -353,7 +374,8 @@ class KmerIndex:
     @classmethod
     def load(cls, path: str | Path, target_db: SetDB, kmer_thr: int,
              seed_matrix: SubstitutionMatrix | None = None,
-             kmer_size: int = 6) -> "KmerIndex | None":
+             kmer_size: int = 6,
+             pattern: np.ndarray | None = None) -> "KmerIndex | None":
         try:
             z = np.load(path)
         except (OSError, ValueError):
@@ -369,6 +391,8 @@ class KmerIndex:
         self.seed = seed_matrix or load_pinned_matrix("vtml80_bf8_bias")
         self.kmer_thr = kmer_thr
         self.kmer_size = kmer_size
+        self.pattern = (pattern if pattern is not None
+                        else KMER_PATTERNS[kmer_size])
         self.t_data = z["t_data"]
         self.t_offsets = z["t_offsets"]
         bounds = np.concatenate((self.t_offsets, [len(self.t_data)]))
@@ -403,7 +427,8 @@ class PrefilterEngine:
                  seed_matrix_name: str = "vtml80_bf8_bias",
                  ungapped_matrix_name: str = "blosum62_bf2_bias",
                  kmer_thr: int | None = None,
-                 kmer_size: int | None = None):
+                 kmer_size: int | None = None,
+                 spaced_kmer_mode: int = 1):
         """`query_profiles` maps query keys to (L, 20) int16 PSSM scores
         (the 8-bit-scaled profile_score rows, Sequence.cpp:241-264); such
         queries use per-position k-mer generation, the profile k-mer
@@ -419,6 +444,8 @@ class PrefilterEngine:
         # (IndexTable::computeKmerSize, IndexTable.h:439-441)
         self.kmer_size = (kmer_size if kmer_size is not None
                           else compute_kmer_size(target_db.total_residues))
+        self.spaced_kmer_mode = spaced_kmer_mode
+        self.pattern = kmer_pattern(self.kmer_size, spaced_kmer_mode != 0)
         self.kmer_thr = (kmer_thr if kmer_thr is not None
                          else kmer_score_threshold(
                              sensitivity, self.kmer_size,
@@ -451,16 +478,20 @@ class PrefilterEngine:
                 sd = target_db.seq_data
                 fp = _h.sha1(sd[:4096].tobytes() + sd[-4096:].tobytes()
                              + target_db.offsets.tobytes()).hexdigest()[:10]
+                sp = ("" if spaced_kmer_mode != 0
+                      else f"_sp{spaced_kmer_mode}")
                 cache = (_P(target_db.path)
                          / f"kmeridx_k{self.kmer_size}_t{index_thr}"
-                           f"_m{int(mask)}_{seed_matrix_name}_{fp}.npz")
+                           f"_m{int(mask)}_{seed_matrix_name}{sp}_{fp}.npz")
                 if cache.exists():
                     self.index = KmerIndex.load(cache, target_db, index_thr,
                                                 self.seed,
-                                                kmer_size=self.kmer_size)
+                                                kmer_size=self.kmer_size,
+                                                pattern=self.pattern)
             if self.index is None:
                 self.index = KmerIndex(target_db, index_thr, self.seed,
-                                       mask=mask, kmer_size=self.kmer_size)
+                                       mask=mask, kmer_size=self.kmer_size,
+                                       pattern=self.pattern)
                 if cache is not None:
                     try:
                         self.index.save(cache)
@@ -522,7 +553,8 @@ class PrefilterEngine:
         windows ascending, similar k-mers in generation order, postings in
         index order — fully vectorized."""
         qseq = self.qdb.sequence(qkey)
-        starts, kmers = spaced_kmers(qseq, self.kmer_size)
+        starts, kmers = spaced_kmers(qseq, self.kmer_size,
+                                     pattern=self.pattern)
         valid = ~(kmers == X_INDEX).any(axis=1)
         starts = starts[valid]
         kmers = kmers[valid]
@@ -534,7 +566,7 @@ class PrefilterEngine:
         # f32 sequential bias sum over the k pattern positions, then the
         # C double +/-0.5 truncation (QueryMatcher.cpp:230-236)
         b = np.zeros(W, dtype=np.float32)
-        for p in KMER_PATTERNS[self.kmer_size]:
+        for p in self.pattern:
             b = (b + bias_f32[starts + p]).astype(np.float32)
         bd = b.astype(np.float64)
         biasv = np.where(bd < 0.0, bd - 0.5, bd + 0.5).astype(np.int16)
@@ -725,7 +757,7 @@ class PrefilterEngine:
             np.ascontiguousarray(self.ungapped.sub_int, dtype=np.int32),
             X_INDEX, self.kmer_thr, self.max_seqs, self.min_diag_score,
             self._bin_count, identity_base, self.cov_thr, self.cov_mode,
-            kmer_size=self.kmer_size,
+            kmer_size=self.kmer_size, pattern=self.pattern,
             sc2=(np.ascontiguousarray(self.tables2.scores, dtype=np.int16)
                  if self.tables2 is not None else None),
             id2=(np.ascontiguousarray(self.tables2.idx, dtype=np.int16)

@@ -114,6 +114,9 @@ class ClusterSearchParams:
     p_mh_thr: float = 0.01
     mask: bool = True
     comp_bias_correction: bool = True
+    # -k (0 = auto: IndexTable::computeKmerSize) and --spaced-kmer-mode
+    kmer_size: int = 0
+    spaced_kmer_mode: int = 1
     # --split-memory-limit (out-of-core target splits, the reference's
     # memory model Prefiltering.cpp:273-377,662-723): bound the per-split
     # k-mer index footprint; 0 = no splitting
@@ -301,7 +304,9 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
                                same_qt_db=same_qt_db,
                                comp_bias_correction=par.comp_bias_correction,
                                mask=par.mask,
-                               cov_thr=par.cov_thr, cov_mode=par.cov_mode)
+                               cov_thr=par.cov_thr, cov_mode=par.cov_mode,
+                               kmer_size=par.kmer_size or None,
+                               spaced_kmer_mode=par.spaced_kmer_mode)
         timings["index"] = time.time() - t0
 
         # streamed search: the prefilter runs in contiguous query chunks

@@ -116,3 +116,27 @@ def test_k7_reference_parity(small_db, tmp_path):
         assert got == want, f"query {qk}"
         n_nonempty += bool(want)
     assert n_nonempty > 100          # the comparison had real material
+
+
+def test_size_triggered_k7_auto_selection(small_db, monkeypatch):
+    """The by-size auto-raise path (VERDICT r4 next #9): scale the
+    IndexTable.h:439-441 boundary down so compute_kmer_size flips to 7
+    for the subset DB, and check the engine picks k=7 WITHOUT an
+    explicit override and produces exactly the explicit-k7 hit sets."""
+    import spacedust_tpu.search.prefilter as pf
+    db, _ = small_db
+    monkeypatch.setattr(pf, "K7_THRESHOLD_RESIDUES",
+                        int(db.total_residues) - 1)
+    assert compute_kmer_size(db.total_residues) == 7
+    eng = PrefilterEngine(db, db, sensitivity=5.7, same_qt_db=True)
+    assert eng.kmer_size == 7                    # auto-selected by size
+    # threshold must follow the k=7 sensitivity table, not k=6's
+    assert eng.kmer_thr == pf.kmer_score_threshold(5.7, 7)
+    auto = eng.match_all()
+    explicit = PrefilterEngine(db, db, sensitivity=5.7, same_qt_db=True,
+                               kmer_size=7).match_all()
+    assert set(auto) == set(explicit)
+    for qk in auto:
+        a = [(h.seq_id, h.score, h.diagonal) for h in auto[qk]]
+        b = [(h.seq_id, h.score, h.diagonal) for h in explicit[qk]]
+        assert a == b, f"query {qk}"
