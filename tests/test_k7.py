@@ -65,6 +65,7 @@ def test_k7_index_native_matches_numpy(small_db):
     ref.seed = idx.seed
     ref.kmer_thr = thr
     ref.kmer_size = 7
+    ref.pattern = idx.pattern
     ref.masked = idx.masked
     ref.t_offsets = idx.t_offsets
     ref.t_data = idx.t_data
