@@ -80,6 +80,7 @@ def test_native_index_build_matches_numpy():
     ref.seed = seed
     ref.kmer_thr = 112
     ref.kmer_size = 6
+    ref.pattern = idx.pattern
     ref.masked = idx.masked
     lens = np.array([len(s) for s in ref.masked], dtype=np.int64)
     ref.t_offsets = idx.t_offsets
