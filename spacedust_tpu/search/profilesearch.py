@@ -299,6 +299,68 @@ class TargetProfilePrefilter:
         return np.minimum(best, 255).astype(np.int32)
 
 
+def profile_slices(cdb: ClusterDB, split_memory_limit: int
+                   ) -> list[list[int]]:
+    """Greedy memory-bounded slices of the profile DB (the
+    searchslicedtargetprofile.sh splitting, dispatched from
+    workflow/Search.cpp:398: slice count from the memory model,
+    Prefiltering.cpp:273-377).  The per-profile footprint estimate is
+    the similar-k-mer beam index: ~rows x beam postings (12 B each) +
+    the PSSM/consensus arrays — ~2 KB per profile position at the
+    default profile k-mer threshold."""
+    per_pos_bytes = 2048
+    slices: list[list[int]] = []
+    cur: list[int] = []
+    used = 0
+    for r in cdb.rep_keys:
+        cost = int(cdb.pssms[r].shape[0]) * per_pos_bytes
+        if cur and used + cost > split_memory_limit:
+            slices.append(cur)
+            cur, used = [], 0
+        cur.append(r)
+        used += cost
+    if cur:
+        slices.append(cur)
+    return slices
+
+
+def search_profile_target_sliced(query_db: SetDB, target_db: SetDB,
+                                 cdb: ClusterDB,
+                                 params: ProfileSearchParams | None = None,
+                                 split_memory_limit: int = 0
+                                 ) -> dict[int, list[AlnRecord]]:
+    """Memory-bounded target-profile search: the profile DB is processed
+    in sequential slices (searchslicedtargetprofile.sh), each slice runs
+    the same two stages as the exhaustive path with E-values computed
+    against the FULL profile DB's residue count, and per-query results
+    are merged + re-sorted + capped globally.  With a cap that does not
+    bind (the common case) the merged output equals the exhaustive
+    search's; when the per-query candidate cap binds, slices can keep
+    MORE candidates than one memory-bound pass — the same property the
+    reference's split merge + re-threshold has (Prefiltering.cpp:356-361).
+    """
+    import dataclasses
+    par = params or ProfileSearchParams()
+    if split_memory_limit <= 0:
+        return search_profile_target(query_db, target_db, cdb, par)
+    n_p = len(cdb.rep_keys)
+    profile_res = (int(sum(cdb.pssms[r].shape[0] for r in cdb.rep_keys))
+                   + n_p // 25 - n_p)
+    merged: dict[int, list[AlnRecord]] = {qk: []
+                                          for qk in range(query_db.size)}
+    for sl in profile_slices(cdb, split_memory_limit):
+        sub = dataclasses.replace(cdb, rep_keys=list(sl))
+        spar = dataclasses.replace(par, n_profiles_override=n_p,
+                                   profile_res_override=profile_res)
+        part = search_profile_target(query_db, target_db, sub, spar)
+        for qk, recs in part.items():
+            merged[qk].extend(recs)
+    for qk in merged:
+        merged[qk].sort(key=lambda r: (r.evalue, -r.score, r.tlen, r.tkey))
+        del merged[qk][par.max_res_list_len:]
+    return merged
+
+
 def search_profile_target(query_db: SetDB, target_db: SetDB,
                           cdb: ClusterDB,
                           params: ProfileSearchParams | None = None

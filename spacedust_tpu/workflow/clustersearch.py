@@ -180,8 +180,16 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
             cov_mode=par.cov_mode, aln_len_thr=par.aln_len_thr,
             gap_open=par.gap_open, gap_extend=par.gap_extend,
             mask=par.mask, comp_bias_correction=par.comp_bias_correction)
-        profile_hits = search_profile_target(query_db, target_db,
-                                             target_cluster_db, ppar)
+        if par.split_memory_limit > 0:
+            # memory-bounded profile-DB slices
+            # (searchslicedtargetprofile.sh, Search.cpp:398)
+            from ..search.profilesearch import search_profile_target_sliced
+            profile_hits = search_profile_target_sliced(
+                query_db, target_db, target_cluster_db, ppar,
+                split_memory_limit=par.split_memory_limit)
+        else:
+            profile_hits = search_profile_target(query_db, target_db,
+                                                 target_cluster_db, ppar)
         timings["profile_search"] = time.time() - t0
         t0 = time.time()
         records = expand_alignments(profile_hits, target_cluster_db.clu_aln,

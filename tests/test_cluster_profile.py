@@ -210,3 +210,33 @@ def test_profile_search_reference_oracle():
     for qk in meta["queries"]:
         ours = [r.line() for r in expanded.get(qk, [])]
         assert ours == ref_res.lines(qk), f"expanded query {qk}"
+
+
+def test_sliced_profile_search_equals_exhaustive(homolog_db):
+    """searchslicedtargetprofile.sh analog (VERDICT r4 next #10):
+    sequential memory-bounded profile-DB slices produce record lists
+    EQUAL to the exhaustive target-profile search."""
+    from spacedust_tpu.search.profilesearch import (
+        ProfileSearchParams, profile_slices, search_profile_target,
+        search_profile_target_sliced)
+    from spacedust_tpu.workflow.clusterdb import cluster_db
+
+    db = homolog_db
+    cdb = cluster_db(db)
+    par = ProfileSearchParams(mask=False)
+    full = search_profile_target(db, db, cdb, par)
+    # a limit small enough to force one profile per slice
+    limit = 2048 * 32
+    slices = profile_slices(cdb, limit)
+    assert len(slices) > 1                      # actually sliced
+    assert sorted(r for s in slices for r in s) == sorted(cdb.rep_keys)
+    sliced = search_profile_target_sliced(db, db, cdb, par,
+                                          split_memory_limit=limit)
+    assert set(sliced) == set(full)
+    n = 0
+    for qk in full:
+        a = [r.line() for r in full[qk]]
+        b = [r.line() for r in sliced[qk]]
+        assert a == b, f"query {qk}"
+        n += len(a)
+    assert n > 0
