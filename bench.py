@@ -32,8 +32,10 @@ import sys
 import time
 
 # Reference binary (.refbuild/src/spacedust) on this host, 2 threads,
-# bundled regression: createsetdb 0.2s + clustersearch ~15.5s.
-REF_E2E_SECONDS = 15.7
+# bundled regression: createsetdb 0.2s + clustersearch ~12.8s
+# (re-measured 2026-08-22 after the round-5 -march=native rebuild:
+# 13.0s / 13.8s over two runs).
+REF_E2E_SECONDS = 13.4
 BASELINE_SSW_GCUPS = 1.504      # reference striped SW, 1 core, this host
 V5E_INT8_TOPS = 394.0e12        # MXU int8 roofline per chip
 SCOREGRID_OPS_PER_CELL = 2 * 21  # int8 dot ops/cell of the score-grid einsum
@@ -228,14 +230,72 @@ def kernel_gcups():
     return sorted(trials)[len(trials) // 2], on_tpu
 
 
+MEASURED_8DEV_SCRIPT = r"""
+import sys, time, json
+sys.path.insert(0, %(repo)r)
+import jax
+from __graft_entry__ import _real_genome_slice
+from spacedust_tpu.parallel.pipeline import sharded_cluster_search
+from spacedust_tpu.parallel.sw_sharded import make_mesh
+from spacedust_tpu.workflow.clustersearch import (ClusterSearchParams,
+                                                  cluster_search)
+db = _real_genome_slice()
+par = ClusterSearchParams(filter_self_match=True)
+t0 = time.perf_counter()
+single = cluster_search(db, db, par)
+t_single = time.perf_counter() - t0
+mesh = make_mesh(jax.devices()[:8])
+t0 = time.perf_counter()
+sharded = sharded_cluster_search(db, db, par, mesh=mesh)
+t_sharded = time.perf_counter() - t0
+print(json.dumps({"single_s": round(t_single, 2),
+                  "sharded_s": round(t_sharded, 2),
+                  "equal": sharded.tsv == single.tsv}))
+"""
+
+
+def measured_8dev_wall():
+    """MEASURED end-to-end wall clock of the 8-device sharded pipeline
+    vs the single-device pipeline on a virtual 8-CPU-device mesh
+    (VERDICT r4 next #6: measure, don't project).  Everything — index
+    build, bitmap setup, aggregation — is inside both timers.  NB the
+    host has 2 physical cores, so 8 virtual devices are 4x
+    oversubscribed: the per-device efficiency measured here is bounded
+    at ~cores/devices = 0.25 by the HOST, independent of the sharding
+    design; it is reported as the honest hardware-free lower bound."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SPACEDUST_JAX_PLATFORM"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_force_host_platform_device_count=8"
+                            ).strip()
+    proc = subprocess.run(
+        [sys.executable, "-c", MEASURED_8DEV_SCRIPT % {"repo": REPO}],
+        capture_output=True, text=True, timeout=1800, env=env)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{"):
+            d = json.loads(line)
+            d["wall_ratio_8dev_vs_1dev"] = round(
+                d["single_s"] / d["sharded_s"], 3)
+            d["measured_8dev_wall_efficiency"] = round(
+                d["single_s"] / (8 * d["sharded_s"]), 3)
+            d["note"] = ("virtual 8-device CPU mesh on a 2-core host: "
+                         "oversubscription caps per-device efficiency "
+                         "at ~0.25 regardless of sharding design")
+            return d
+    raise RuntimeError(proc.stderr[-500:])
+
+
 def sharding_metrics(n_shards: int = 8):
-    """Projected target-split scaling on the regression DB.  The cached-
-    beam split (parallel/pipeline.py): per-device cost = its share of
-    the one-time beam generation (query-parallel, beam_s/n) + its shard
-    probe + its merge share (each host merges its query slice after the
-    hit all-to-all).  Index build (parallel per shard) and the bitmap/
-    mask setup are reported separately — they amortize over query
-    streams and are excluded from the single-engine numerator too."""
+    """Sharded-prefilter scaling on the regression DB: the MEASURED
+    8-virtual-device wall clock (measured_8dev_wall) plus the per-stage
+    PROJECTIONS (labeled as such) from the cached-beam split
+    (parallel/pipeline.py).  Projection accounting includes EVERY
+    per-device cost: beam share, shard probe, merge share, per-shard
+    index build (parallel across devices -> max), and the bitmap/mask
+    setup (replicated per device)."""
     import numpy as np
     from spacedust_tpu.db.fasta import create_setdb_from_fastas
     from spacedust_tpu.search.prefilter import PrefilterEngine
@@ -261,20 +321,26 @@ def sharding_metrics(n_shards: int = 8):
                       same_qt_db=True)
     st = sharded_prefilter.last_stats
     per_dev = (st["beam_s"] / n_shards + max(st["probe_s"])
-               + st["merge_s"] / n_shards)
-    return {
+               + st["merge_s"] / n_shards + max(st["index_s"])
+               + st["bitmap_or_s"])
+    out = {
         "prefilter_1dev_s": round(t1, 2),
         "query_split_slice_max_s": round(max(qs), 2),
-        "scaling_efficiency_8dev_query_split": round(
-            t1 / (n_shards * max(qs)), 3),
+        "projected_8dev_query_split_efficiency": round(
+            min(1.0, t1 / (n_shards * max(qs))), 3),
         "target_split_beam_s": st["beam_s"],
         "target_split_probe_max_s": round(max(st["probe_s"]), 3),
         "target_split_merge_s": st["merge_s"],
         "target_split_index_s_max": round(max(st["index_s"]), 3),
         "target_split_setup_s": st["bitmap_or_s"],
-        "scaling_efficiency_8dev_target_split": round(
-            t1 / (n_shards * per_dev), 3),
+        "projected_8dev_target_split_efficiency": round(
+            min(1.0, t1 / (n_shards * per_dev)), 3),
     }
+    try:
+        out["measured_8dev_wall"] = measured_8dev_wall()
+    except Exception as e:       # noqa: BLE001 — report, don't fail bench
+        out["measured_8dev_wall"] = {"error": str(e)[:200]}
+    return out
 
 
 def main() -> None:
@@ -289,6 +355,7 @@ def main() -> None:
     # ---- scale tier --------------------------------------------------
     scale = None
     scale_base = None
+    scale_runs = []
     if os.environ.get("SPACEDUST_BENCH_SCALE", "1") != "0":
         try:
             paths = ensure_scale_genomes()
@@ -299,11 +366,18 @@ def main() -> None:
             elif os.path.exists(SCALE_BASELINE):
                 scale_base = json.load(open(SCALE_BASELINE))
             if scale_base is not None:
+                # two runs in one process (VERDICT r4 next #2: report
+                # spread): run 0 may pay executable loads, run 1 is the
+                # steady state; the headline is run -1 with both shown
                 rs = run_e2e(paths, float(os.environ.get(
-                    "SPACEDUST_BENCH_SCALE_TIMEOUT", "2400")))
-                scale = rs[0] if rs else None
+                    "SPACEDUST_BENCH_SCALE_TIMEOUT", "2400")),
+                    n_runs=int(os.environ.get(
+                        "SPACEDUST_BENCH_SCALE_RUNS", "2")))
+                scale_runs = rs or []
+                scale = rs[-1] if rs else None
         except Exception:
             scale = None
+            scale_runs = []
 
     # ---- small tier: median of N runs (ADVICE r3) --------------------
     n_runs = int(os.environ.get("SPACEDUST_BENCH_RUNS", "3"))
@@ -364,6 +438,8 @@ def main() -> None:
                      "2-core host binary)"),
             "vs_baseline": round(speedup, 2),
             "scale_e2e_seconds": round(scale["total_s"], 2),
+            "scale_e2e_runs_s": [round(r["total_s"], 2)
+                                 for r in scale_runs],
             "scale_stage_seconds": {k: _r(v)
                                     for k, v in scale["timings"].items()},
             "scale_hits": scale["hits"],

@@ -132,3 +132,24 @@ def test_structure_full_anchor(full_db):
     res = cluster_search(full_db, full_db, par)
     n_hits = sum(1 for ln in res.tsv.splitlines() if ln.startswith(">"))
     assert n_hits == 568
+
+
+def test_structure_evalue_live_anchor(small_db):
+    """Second independent live calibration anchor (VERDICT r4 next #7):
+    the MEDIAN non-self E-value of the live 80-gene structure search is
+    pinned to a +/-2x band.  E-values scale linearly in the Gumbel K, so
+    a K drift from the calibrated 300 to e.g. 800 (which still satisfies
+    the 568 regression count — the count is not monotone in K) moves the
+    median by 2.67x and trips this band; unlike the committed-artifact
+    anchors, this one exercises the LIVE code path."""
+    import statistics
+    recs = structure_search(small_db, small_db)
+    evs = [r.evalue for qk in range(small_db.size) for r in recs[qk]
+           if r.tkey != qk and 1e-30 < r.evalue <= 10.0]
+    assert len(evs) > 80                 # real material
+    med = statistics.median(evs)
+    pinned = 6.87e-13                    # K=300 calibration, this fixture
+    assert pinned / 2 < med < pinned * 2, (
+        f"structure-mode E-value calibration drifted: median {med:.3e} "
+        f"vs pinned {pinned:.3e} (Gumbel K off by "
+        f"{med / pinned:.2f}x?)")
