@@ -206,7 +206,7 @@ def kernel_gcups():
         def run():
             S = score_grid(prof, tseq)
             return sw_scan_pallas(S, lens, lens, term, 11, 1,
-                                  all_outputs=True, bt=64,
+                                  all_outputs=True, bt=128,
                                   per_column=False)
     else:
         from spacedust_tpu.ops.sw_tiled import sw_scan_tiled

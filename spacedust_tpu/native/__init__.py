@@ -806,3 +806,39 @@ def set_num_threads(n: int) -> None:
     lib.spacedust_set_threads.restype = ctypes.c_int
     lib.spacedust_set_threads.argtypes = [ctypes.c_int]
     lib.spacedust_set_threads(int(n))
+
+
+def banded_align_profile_profile(t_consens: np.ndarray,
+                                 q_consens: np.ndarray,
+                                 qprof_aa_qpos: np.ndarray,
+                                 query_start: int,
+                                 tprof_aa_tpos: np.ndarray,
+                                 target_start: int, score: int,
+                                 gap_open: int = 11,
+                                 gap_extend: int = 1) -> str:
+    """PROFILE_PROFILE CIGAR (StripedSmithWaterman.cpp:1461-1470): both
+    sides are profiles; t_consens/q_consens are the consensus residues
+    over the aligned rectangle, the profiles are (alpha, full_len) int8
+    in [aa][pos] layout.  Cell score = the reference's rounded mean of
+    qprof[t_j][qs+i] and tprof[q_i][ts+j]."""
+    lib = get_lib()
+    t = np.ascontiguousarray(t_consens, dtype=np.uint8)
+    qc = np.ascontiguousarray(q_consens, dtype=np.uint8)
+    qprof = np.ascontiguousarray(qprof_aa_qpos, dtype=np.int8)
+    tprof = np.ascontiguousarray(tprof_aa_tpos, dtype=np.int8)
+    q_len = len(qc)
+    band_width = abs(len(t) - q_len) + 1
+    cap = q_len + len(t) + 8
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.banded_align_profile_profile(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q_len, len(t),
+        qprof.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        qprof.shape[1], int(query_start),
+        tprof.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        tprof.shape[1], int(target_start),
+        int(score), gap_open, gap_extend, band_width, buf, cap)
+    if n < 0:
+        raise RuntimeError(f"banded_align_profile_profile failed: {n}")
+    return buf.raw[:n].decode("ascii")

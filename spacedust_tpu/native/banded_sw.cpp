@@ -41,11 +41,17 @@ inline long band_d(int w, int i, int j, int p) {
 // or -1 on failure (score not reached even at max band), -2 if out_cap
 // too small.
 //
-// Two scoring modes (mirroring banded_sw's SUBSTITUTIONMATRIX and
-// PROFILE_SEQ types):
+// Three scoring modes (mirroring banded_sw's SUBSTITUTIONMATRIX,
+// PROFILE_SEQ and PROFILE_PROFILE types,
+// StripedSmithWaterman.cpp:1461-1478):
 //   * mat != NULL: cell score = mat[q[i]*alpha + t[j]] + bias[i]
 //   * prof != NULL: cell score = prof[t[j]*prof_qlen + (query_start+i)]
 //     (per-position profile, layout [aa][query_pos])
+//   * tprof != NULL additionally (PROFILE_PROFILE): t[] and qcons[] are
+//     the two CONSENSUS sequences; the cell combines the two profile
+//     scores s1 = prof[t[j]][qs+i], s2 = tprof[qcons[i]][ts+j] as
+//     ((|mn|+mn)+(|mn|+mx)+1)/2 - |mn| (the reference's rounded mean
+//     with negative-score clamp-to-min, StripedSmithWaterman.cpp:1464-1470)
 template <typename TT>
 static int banded_align_impl(const uint8_t* q, const TT* t,
                              const int8_t* bias, int q_len, int t_len,
@@ -53,7 +59,10 @@ static int banded_align_impl(const uint8_t* q, const TT* t,
                              const int8_t* prof, int prof_qlen,
                              int query_start, int score, int gap_open,
                              int gap_extend, int band_width, char* out_ops,
-                             int out_cap) {
+                             int out_cap,
+                             const int8_t* tprof = NULL,
+                             int tprof_tlen = 0, int target_start = 0,
+                             const uint8_t* qcons = NULL) {
     std::vector<int32_t> h_b, e_b, h_c;
     std::vector<int8_t> direction;
     long width = 0, width_d = 0;
@@ -103,7 +112,16 @@ static int banded_align_impl(const uint8_t* q, const TT* t,
                 int e1 = e_b[u] > 0 ? e_b[u] : 0;
                 temp1 = e1 > f1 ? e1 : f1;
                 int cell;
-                if (prof != NULL) {
+                if (tprof != NULL) {
+                    const int s1 =
+                        prof[(int)t[j] * prof_qlen + (query_start + i)];
+                    const int s2 = tprof[(int)qcons[i] * tprof_tlen +
+                                         (target_start + j)];
+                    const int mn = s1 < s2 ? s1 : s2;
+                    const int mx = s1 < s2 ? s2 : s1;
+                    const int amn = mn < 0 ? -mn : mn;
+                    cell = (((amn + mn) + (amn + mx) + 1) / 2) - amn;
+                } else if (prof != NULL) {
                     cell = prof[(int)t[j] * prof_qlen + (query_start + i)];
                 } else {
                     cell = mat[(int)q[i] * alpha_size + (int)t[j]] +
@@ -220,6 +238,21 @@ int banded_align_batch(const uint8_t* qdata, const int64_t* qoffs,
 }
 
 // Wide-alphabet profile variant (uint16 target symbols) for the combined
+// PROFILE_PROFILE traceback (StripedSmithWaterman.cpp:1461-1470): both
+// inputs are profiles; t = target CONSENSUS residues over the aligned
+// rectangle, qcons = query consensus residues.
+int banded_align_profile_profile(
+    const uint8_t* t, const uint8_t* qcons, int q_len, int t_len,
+    const int8_t* qprof, int qprof_qlen, int query_start,
+    const int8_t* tprof, int tprof_tlen, int target_start,
+    int score, int gap_open, int gap_extend, int band_width,
+    char* out_ops, int out_cap) {
+    return banded_align_impl(NULL, t, NULL, q_len, t_len, NULL, 0, qprof,
+                             qprof_qlen, query_start, score, gap_open,
+                             gap_extend, band_width, out_ops, out_cap,
+                             tprof, tprof_tlen, target_start, qcons);
+}
+
 // 3Di x amino-acid alphabet of the structure-alignment mode (441 symbols:
 // symbol = ss*21 + aa).
 int banded_align_profile_u16(const uint16_t* t, int q_len, int t_len,

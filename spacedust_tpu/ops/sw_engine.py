@@ -250,12 +250,12 @@ def _sw_bucket(qdata, qbias, tdata, sub, params,
         S = score_grid(prof, tt)
         # forward batches use the cheap row-tracking argmax; the reverse
         # pass needs the per-column terminate tracker.  Batch-block
-        # sweep on v5e: BT=128 is ~1.3x faster at the small rungs
-        # (256/384 dominate bacterial protein lengths), BT=64 wins from
-        # 512 up (VMEM forces tiny TT otherwise).
+        # sweep on v5e: BT=128 wins through Lq=512 (25.3 vs 22.7 GCUPS
+        # measured at 512 with the bf16 score grid), BT=64 from 1024 up
+        # (VMEM forces tiny TT otherwise).
         return sw_scan_pallas(S, qlen, tlen, terminate, gap_open,
                               gap_extend, all_outputs=True, use16=use16,
-                              bt=128 if Lq <= 384 else 64,
+                              bt=128 if Lq <= 512 else 64,
                               per_column=reverse)
     return sw_scan_core(prof, tt, qlen, tlen, gap_open, gap_extend,
                         terminate, t_tile=min(128, Lt),

@@ -77,3 +77,50 @@ def test_pssm_parity_subset(examples_dir):
             assert np.abs(m - w).max() <= 1
     assert exact >= int(N * 0.95)
     assert diff_bytes / total_bytes < 1e-4
+
+
+def test_profile_profile_alignment_mode():
+    """PROFILE_PROFILE banded traceback (VERDICT r4 missing #5;
+    StripedSmithWaterman.cpp:1461-1470): identical profiles degenerate
+    to the all-M self-alignment, and a profile pair constructed around
+    a 4-residue insertion recovers the known M..D..M path with the
+    combined-score cell formula."""
+    import numpy as np
+    from spacedust_tpu.native import banded_align_profile_profile
+
+    rng = np.random.default_rng(3)
+    go, ge = 11, 1
+    Lq = 40
+    qcons = rng.integers(0, 20, Lq).astype(np.uint8)
+    # strong match profile: +8 on the consensus residue, -4 elsewhere
+    qprof = np.full((20, Lq), -4, np.int8)
+    qprof[qcons, np.arange(Lq)] = 8
+
+    # identical profiles + consensus -> pure match alignment; per-cell
+    # combined score of two equal scores s is s itself
+    score_self = int(qprof[qcons, np.arange(Lq)].astype(int).sum())
+    ops = banded_align_profile_profile(qcons, qcons, qprof, 0, qprof, 0,
+                                       score_self, go, ge)
+    assert ops == "M" * Lq
+
+    # target = query with 4 residues inserted after position 20
+    ins = rng.integers(0, 20, 4).astype(np.uint8)
+    tcons = np.concatenate([qcons[:20], ins, qcons[20:]])
+    Lt = len(tcons)
+    tprof = np.full((20, Lt), -4, np.int8)
+    tprof[tcons, np.arange(Lt)] = 8
+    # expected path: 20 M, 4 D (gap in query), 20 M
+    # matched cells score 8; gap cost go + 3*ge
+    score = 8 * Lq - go - 3 * ge
+    ops = banded_align_profile_profile(tcons, qcons, qprof, 0, tprof, 0,
+                                       score, go, ge)
+    assert ops == "M" * 20 + "D" * 4 + "M" * 20
+
+    # asymmetric-profile cell formula check: against a scalar recompute
+    # on the diagonal of the self case with a perturbed target profile
+    tprof2 = qprof.copy()
+    tprof2[qcons, np.arange(Lq)] = 2          # s1=8, s2=2 -> cell 5
+    score2 = 5 * Lq
+    ops2 = banded_align_profile_profile(qcons, qcons, qprof, 0, tprof2, 0,
+                                        score2, go, ge)
+    assert ops2 == "M" * Lq
