@@ -104,6 +104,13 @@ def main() -> None:
         self_score = int((m.sub_int[qs, qs] + b).sum())
         N.banded_align(qs, qs, b, m.sub_int.astype(np.int8),
                        score=self_score)
+    # PROFILE_PROFILE mode + the OpenMP thread-cap export
+    N.set_num_threads(2)
+    qc = np.random.default_rng(5).integers(0, 20, 50).astype(np.uint8)
+    pp = np.full((20, 50), -4, np.int8)
+    pp[qc, np.arange(50)] = 8
+    N.banded_align_profile_profile(qc, qc, pp, 0, pp, 0, 8 * 50)
+    N.set_num_threads(0)
     print("banded ok", flush=True)
 
     # nucleotide banded extension
