@@ -385,8 +385,10 @@ def main() -> None:
                          n_runs=n_runs) or []
     small = None
     if small_runs:
-        small_runs.sort(key=lambda r: r["total_s"])
-        small = small_runs[(len(small_runs) - 1) // 2]   # lower median
+        # median WITHOUT reordering the report: e2e_runs_s stays in
+        # execution order so run 0 is the honest fresh-process cold start
+        ordered = sorted(small_runs, key=lambda r: r["total_s"])
+        small = ordered[(len(ordered) - 1) // 2]         # lower median
 
     gcups = on_tpu = None
     try:

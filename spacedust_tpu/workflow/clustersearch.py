@@ -321,17 +321,28 @@ def cluster_search(query_db: SetDB, target_db: SetDB,
         # and each chunk's forward SW batches dispatch asynchronously to
         # the device before the next chunk starts — device scoring
         # overlaps the host prefilter (the reference interleaves nothing;
-        # its prefilter and align are separate serial processes)
+        # its prefilter and align are separate serial processes).  The
+        # NEXT chunk's native prefilter (OpenMP, GIL-free) additionally
+        # runs on a background thread while the main thread does this
+        # chunk's Python-side stage0/enqueue work, so the host cores
+        # stay packed; "prefilter" reports the EXPOSED wait time.
+        from concurrent.futures import ThreadPoolExecutor
         t0 = time.time()
         stream = aln.stream()
         chunk = max(256, (query_db.size + 7) // 8)
+        ranges = [(s, min(s + chunk, query_db.size))
+                  for s in range(0, query_db.size, chunk)]
         pref_s = 0.0
-        for s in range(0, query_db.size, chunk):
-            tp = time.time()
-            hits = pref.match_range(s, min(s + chunk, query_db.size))
-            pref_s += time.time() - tp
-            stream.add({qk: [h.seq_id for h in hs]
-                        for qk, hs in hits.items()})
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(pref.match_range, *ranges[0])
+            for i in range(len(ranges)):
+                tp = time.time()
+                hits = fut.result()
+                pref_s += time.time() - tp
+                if i + 1 < len(ranges):
+                    fut = pool.submit(pref.match_range, *ranges[i + 1])
+                stream.add({qk: [h.seq_id for h in hs]
+                            for qk, hs in hits.items()})
         timings["prefilter"] = round(pref_s, 4)
         stats = getattr(pref, "stats", None)
         if stats:
