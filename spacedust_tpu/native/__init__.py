@@ -282,7 +282,8 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32)]
         lib.nucl_banded_align.restype = ctypes.c_int
         lib.nucl_banded_align.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -761,9 +762,13 @@ def nucl_banded_align(q: np.ndarray, t: np.ndarray, diagonal: int,
 
 def banded_align_batch(qdata, qoffs, tdata, toffs, bias_data, mat_int8,
                        qk, tk, qstart, qend, tstart, tend, score,
-                       gap_open: int = 11, gap_extend: int = 1):
+                       gap_open: int = 11, gap_extend: int = 1,
+                       want_cigar: bool = False):
     """Batched banded tracebacks (OpenMP over pairs). Returns
-    (ops_list, n_ident array); raises on any failed traceback."""
+    (ops_list, n_ident array) — or (ops_list, n_ident, cigar_list) with
+    want_cigar (the compressed form emitted natively; the per-record
+    Python RLE loop cost ~6 s at scale).  Raises on any failed
+    traceback."""
     lib = get_lib()
     n = len(qk)
     qk = np.ascontiguousarray(qk, dtype=np.int32)
@@ -779,6 +784,13 @@ def banded_align_batch(qdata, qoffs, tdata, toffs, bias_data, mat_int8,
     out_ops = ctypes.create_string_buffer(int(out_offs[-1]))
     out_len = np.empty(n, dtype=np.int32)
     out_ident = np.empty(n, dtype=np.int32)
+    if want_cigar:
+        # worst case (alternating ops) doubles the length
+        out_cigar = ctypes.create_string_buffer(2 * int(out_offs[-1]))
+        out_clen = np.empty(n, dtype=np.int32)
+        cig_args = (out_cigar, _ptr(out_clen, ctypes.c_int32))
+    else:
+        cig_args = (None, None)
     bad = lib.banded_align_batch(
         _ptr(qdata, ctypes.c_uint8), _ptr(qoffs, ctypes.c_int64),
         _ptr(tdata, ctypes.c_uint8), _ptr(toffs, ctypes.c_int64),
@@ -789,13 +801,19 @@ def banded_align_batch(qdata, qoffs, tdata, toffs, bias_data, mat_int8,
         _ptr(tstart, ctypes.c_int32), _ptr(tend, ctypes.c_int32),
         _ptr(score, ctypes.c_int32), gap_open, gap_extend,
         _ptr(out_offs, ctypes.c_int64), out_ops,
-        _ptr(out_len, ctypes.c_int32), _ptr(out_ident, ctypes.c_int32))
+        _ptr(out_len, ctypes.c_int32), _ptr(out_ident, ctypes.c_int32),
+        *cig_args)
     if bad:
         raise RuntimeError(f"banded_align_batch: {bad} failed tracebacks")
     raw = out_ops.raw
     ops = [raw[int(out_offs[i]):int(out_offs[i]) + int(out_len[i])]
            .decode("ascii") for i in range(n)]
-    return ops, out_ident
+    if not want_cigar:
+        return ops, out_ident
+    craw = out_cigar.raw
+    cigs = [craw[2 * int(out_offs[i]):2 * int(out_offs[i])
+                 + int(out_clen[i])].decode("ascii") for i in range(n)]
+    return ops, out_ident, cigs
 
 
 def set_num_threads(n: int) -> None:

@@ -16,6 +16,7 @@
 //     leading M
 // Cell scores: sub[q_i][t_j] + compositionBias[i].
 
+#include <cstdio>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -209,7 +210,11 @@ int banded_align_batch(const uint8_t* qdata, const int64_t* qoffs,
                        const int32_t* score,
                        int gap_open, int gap_extend,
                        const int64_t* out_offs, char* out_ops,
-                       int32_t* out_len, int32_t* out_ident) {
+                       int32_t* out_len, int32_t* out_ident,
+                       // optional compressed-CIGAR emission
+                       // (Matcher::compressAlignment): buffer with
+                       // 2*out_offs spacing, NULL = skip
+                       char* out_cigar, int32_t* out_clen) {
     int bad = 0;
 #pragma omp parallel for schedule(dynamic, 16) reduction(+:bad)
     for (int i = 0; i < n; ++i) {
@@ -233,11 +238,23 @@ int banded_align_batch(const uint8_t* qdata, const int64_t* qoffs,
             else ++tp;
         }
         out_ident[i] = ids;
+        if (out_cigar != NULL) {
+            // run-length encode in place (the Python-side per-record
+            // compress_cigar loop was ~6 s of host time at scale)
+            char* cg = out_cigar + 2 * out_offs[i];
+            int ci = 0, c = 0;
+            while (c < len) {
+                int r = c + 1;
+                while (r < len && out[r] == out[c]) ++r;
+                ci += snprintf(cg + ci, 16, "%d%c", r - c, out[c]);
+                c = r;
+            }
+            out_clen[i] = ci;
+        }
     }
     return bad;
 }
 
-// Wide-alphabet profile variant (uint16 target symbols) for the combined
 // PROFILE_PROFILE traceback (StripedSmithWaterman.cpp:1461-1470): both
 // inputs are profiles; t = target CONSENSUS residues over the aligned
 // rectangle, qcons = query consensus residues.

@@ -259,7 +259,8 @@ class AlignmentEngine:
                 tkey=qk, score=int(bits[i]), seq_id=1.0,
                 evalue=float(evalues[i]), qstart=0, qend=L - 1, qlen=L,
                 tstart=0, tend=L - 1, tlen=L, backtrace="M" * L,
-                raw_score=int(raws[i]), qcov=1.0, tcov=1.0)
+                raw_score=int(raws[i]), qcov=1.0, tcov=1.0,
+                cigar=f"{L}M")
         return out
 
     def _identity_record(self, qkey: int) -> AlnRecord:
@@ -279,7 +280,7 @@ class AlignmentEngine:
         return AlnRecord(tkey=qkey, score=bit, seq_id=1.0, evalue=evalue,
                          qstart=0, qend=L - 1, qlen=L, tstart=0, tend=L - 1,
                          tlen=L, backtrace="M" * L, raw_score=int(raw),
-                         qcov=1.0, tcov=1.0)
+                         qcov=1.0, tcov=1.0, cigar=f"{L}M")
 
     # ------------------------------------------------------------------
     def forward_accepts(self, candidates: dict[int, list[int]],
@@ -926,7 +927,7 @@ class AlignmentEngine:
             bias_data = self._qbias_all()
         else:
             bias_data = np.zeros(len(self.qdb.seq_data), dtype=np.int8)
-        ops_list, idents = banded_align_batch(
+        ops_list, idents, cigars = banded_align_batch(
             np.ascontiguousarray(self.qdb.seq_data, dtype=np.uint8),
             np.ascontiguousarray(self.qdb.offsets[:-1], dtype=np.int64),
             np.ascontiguousarray(self.tdb.seq_data, dtype=np.uint8),
@@ -935,7 +936,7 @@ class AlignmentEngine:
             self.matrix.sub_int.astype(np.int8),
             qk[sel], tk[sel], q_start[sel], q_end[sel],
             t_start[sel], t_end[sel], score[sel],
-            par.gap_open, par.gap_extend)
+            par.gap_open, par.gap_extend, want_cigar=True)
         bits = (self.evaluer.compute_bit_score(score[sel])
                 + 0.5).astype(np.int64)
         for bi, si in enumerate(sel):
@@ -954,7 +955,7 @@ class AlignmentEngine:
                 qlen=int(qlen[si]), tstart=int(t_start[si]),
                 tend=int(t_end[si]), tlen=int(tlen[si]), backtrace=ops,
                 raw_score=int(score[si]), qcov=float(qcov[si]),
-                tcov=float(tcov[si]))
+                tcov=float(tcov[si]), cigar=cigars[bi])
         return recs
 
     # ------------------------------------------------------------------

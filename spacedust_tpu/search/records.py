@@ -31,13 +31,15 @@ class AlnRecord:
     raw_score: int = 0   # raw SW score (not serialized; kept for stats)
     qcov: float = 0.0
     tcov: float = 0.0
+    cigar: str | None = None  # precompressed backtrace (native emission)
 
     def columns(self, add_backtrace: bool = True) -> list[str]:
         cols = [str(self.tkey), str(self.score), fmt_seq_id(self.seq_id),
                 fmt_double_3e(self.evalue), str(self.qstart), str(self.qend),
                 str(self.qlen), str(self.tstart), str(self.tend), str(self.tlen)]
         if add_backtrace:
-            cols.append(compress_cigar(self.backtrace))
+            cols.append(self.cigar if self.cigar is not None
+                        else compress_cigar(self.backtrace))
         return cols
 
     def line(self, add_backtrace: bool = True) -> str:

@@ -104,6 +104,23 @@ def main() -> None:
         self_score = int((m.sub_int[qs, qs] + b).sum())
         N.banded_align(qs, qs, b, m.sub_int.astype(np.int8),
                        score=self_score)
+    # batched traceback incl. the native compressed-CIGAR emission
+    ks = np.array(list(hits)[:16], np.int32)
+    lens16 = sub.lengths[ks].astype(np.int32)
+    _ops, _ids, _cigs = N.banded_align_batch(
+        np.ascontiguousarray(sub.seq_data, np.uint8),
+        np.ascontiguousarray(sub.offsets[:-1], np.int64),
+        np.ascontiguousarray(sub.seq_data, np.uint8),
+        np.ascontiguousarray(sub.offsets[:-1], np.int64),
+        np.ascontiguousarray(bias, np.int8),
+        m.sub_int.astype(np.int8), ks, ks,
+        np.zeros(16, np.int32), lens16 - 1,
+        np.zeros(16, np.int32), lens16 - 1,
+        np.array([int((m.sub_int[sub.sequence(int(k)), sub.sequence(int(k))]
+                       + bias[sub.offsets[int(k)]:sub.offsets[int(k) + 1]]
+                       ).sum()) for k in ks], np.int32),
+        want_cigar=True)
+    assert all(c.endswith("M") for c in _cigs)
     # PROFILE_PROFILE mode + the OpenMP thread-cap export
     N.set_num_threads(2)
     qc = np.random.default_rng(5).integers(0, 20, 50).astype(np.uint8)
