@@ -37,9 +37,9 @@ from .sw_tiled import sw_scan_core
 
 configure_jax()
 
-LADDER = (256, 384, 512, 1024, 2048, 4096, 32768)
-_BATCH_FOR_RUNG = {256: 2048, 384: 2048, 512: 1024, 1024: 512, 2048: 128,
-                   4096: 64, 32768: 8}
+LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 32768)
+_BATCH_FOR_RUNG = {256: 2048, 384: 2048, 512: 1024, 768: 768, 1024: 512,
+                   1536: 256, 2048: 128, 3072: 128, 4096: 64, 32768: 8}
 
 # Super-batching: K width-B chunks run inside ONE device execution via an
 # outer lax.map (sequential on-device, so only one chunk's S grid is live
@@ -50,7 +50,8 @@ _BATCH_FOR_RUNG = {256: 2048, 384: 2048, 512: 1024, 1024: 512, 2048: 128,
 # round trips.  K is sized so one super-execution carries ~100-200 ms of
 # DP compute (overhead <10%) while tail-padding waste stays below one
 # super per (rung, direction).
-_SUPER_K = {256: 16, 384: 8, 512: 8, 1024: 8, 2048: 8, 4096: 8, 32768: 1}
+_SUPER_K = {256: 16, 384: 8, 512: 8, 768: 8, 1024: 8, 1536: 8, 2048: 8,
+            3072: 4, 4096: 8, 32768: 1}
 
 # device-resident layout: sequence starts are padded to 1024-token
 # alignment so the panel gather can run as per-row HBM->VMEM DMAs (the
@@ -147,11 +148,13 @@ def bucket_len(x: int) -> int:
     """Square rung: one executable per (rung, direction) — the forward
     variant uses the DMA panel gather + row-tracking argmax, the reverse
     variant the flipped gather + per-column terminate tracker.  The
-    ladder is
-    deliberately tiny: on the target hardware each distinct compiled
-    shape costs ~2-4 s to build/load (even on a persistent-cache hit),
-    which dwarfs the padding FLOPs it saves — round 2's 11x11 grid spent
-    ~300 s loading ~100 executables to score ~30 Gcells of work.
+    ladder is deliberately small: on the target hardware each distinct
+    compiled shape costs ~2-4 s to build/load (even on a persistent-
+    cache hit) — round 2's 11x11 grid spent ~300 s loading ~100
+    executables to score ~30 Gcells of work.  The intermediate rungs
+    (768/1536/3072) halve the row padding of the dominant mid-length
+    pairs, and warm() only compiles the rungs the DB's length histogram
+    actually maps to, so the per-run executable count stays ~10-14.
 
     Lengths above the ladder top RAISE: the resident-array gather clamps
     indices, so letting an over-long pair through would silently truncate
