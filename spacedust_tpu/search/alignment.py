@@ -343,14 +343,13 @@ class AlignmentEngine:
         st.add(candidates)
         return st.finish()
 
-    def _stage0_arrays(self, candidates: dict[int, list[int]],
-                       pairs: list[tuple[int, int]]):
+    def _stage0_arrays(self, candidates: dict[int, list[int]]):
         """Array form of the identity/coverage pre-check for one
         candidate fragment (no per-candidate Python loop; the 'items'
         state machine is skipped entirely when --max-accept/--max-
         rejected are unset, which is the clustersearch default).
-        Appends device pairs to `pairs`; returns
-        (qks, aqk, atk, keep_ident, pair_pos, ident_recs)."""
+        Returns (qks, aqk, atk, keep_ident, pair_idx, ident_recs) where
+        pair_idx are the candidate positions that become device pairs."""
         par = self.par
         qlens_all = self.qdb.lengths
         tlens_all = self.tdb.lengths
@@ -371,12 +370,8 @@ class AlignmentEngine:
         ident_recs = self._identity_records_batch(
             np.unique(aqk[is_ident & covered]))
         keep_ident = is_ident & covered
-        is_pair = covered & ~is_ident
-        pair_pos = np.full(len(aqk), -1, dtype=np.int64)
-        idx = np.nonzero(is_pair)[0]
-        pair_pos[idx] = len(pairs) + np.arange(len(idx))
-        pairs.extend(zip(aqk[idx].tolist(), atk[idx].tolist()))
-        return qks, aqk, atk, keep_ident, pair_pos, ident_recs
+        pair_idx = np.nonzero(covered & ~is_ident)[0]
+        return qks, aqk, atk, keep_ident, pair_idx, ident_recs
 
     def _stage0(self, candidates: dict[int, list[int]],
                 items: dict[int, list], pairs: list[tuple[int, int]]) -> int:
@@ -690,13 +685,19 @@ class AlignmentEngine:
                       positions: np.ndarray | None = None):
         """Bucketed forward jobs for a pair fragment; positions are
         global pair indices (base + local, or the explicit array)."""
-        from ..ops.sw_engine import LADDER
-        qlens_all = self.qdb.lengths
-        tlens_all = self.tdb.lengths
         qk = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
         tk = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
-        ql = qlens_all[qk].astype(np.int32)
-        tl = tlens_all[tk].astype(np.int32)
+        if positions is None:
+            positions = base + np.arange(len(pairs), dtype=np.int64)
+        return self._forward_jobs_arrays(qk, tk, positions)
+
+    def _forward_jobs_arrays(self, qk: np.ndarray, tk: np.ndarray,
+                             positions: np.ndarray):
+        """Array-native forward-job bucketing (the streaming fast path
+        never materializes pair tuples)."""
+        from ..ops.sw_engine import LADDER
+        ql = self.qdb.lengths[qk].astype(np.int32)
+        tl = self.tdb.lengths[tk].astype(np.int32)
         # square rungs only: one executable serves both dimensions
         # (and the reverse pass), keeping the compiled-shape count at
         # the ladder size; rung assignment vectorized over the ladder
@@ -706,10 +707,9 @@ class AlignmentEngine:
         for r in np.unique(ri):
             sel = np.nonzero(ri == r)[0]
             rung = int(ladder[r])
-            pos = (positions[sel] if positions is not None else sel + base)
             jobs.append(((rung, rung), self._qoffs32[qk[sel]], ql[sel],
                          self._toffs32[tk[sel]], tl[sel],
-                         np.full(len(sel), -1, np.int32), pos))
+                         np.full(len(sel), -1, np.int32), positions[sel]))
         return jobs
 
     @staticmethod
@@ -1047,47 +1047,67 @@ class _AlignStream:
         self._fast = (par.max_accept >= (1 << 31) - 1
                       and par.max_rejected >= (1 << 31) - 1)
         self._frags: list = []
+        # fast path: pairs live as per-fragment (qk, tk) ARRAY blocks
+        self._pair_qk: list[np.ndarray] = []
+        self._pair_tk: list[np.ndarray] = []
+        self._n_pairs = 0
 
-    def add(self, candidates: dict[int, list[int]]) -> None:
-        eng = self.eng
-        if self._fast:
-            frag_start = len(self.pairs)
-            self._frags.append(eng._stage0_arrays(candidates, self.pairs))
-        else:
-            frag_start = eng._stage0(candidates, self.items, self.pairs)
-        frag = self.pairs[frag_start:]
-        if not frag:
-            return
+    def _check_dev(self) -> None:
         if not self._dev_checked:
             # engines with custom forward/reverse drivers (the mesh-
             # sharded engine overrides them) run monolithically at
             # finish(); only the base device path streams
-            base_fwd = (type(eng)._run_forward
+            base_fwd = (type(self.eng)._run_forward
                         is AlignmentEngine._run_forward)
-            self._dev = eng._device_db() if base_fwd else None
+            self._dev = self.eng._device_db() if base_fwd else None
             self._dev_checked = True
+
+    def _enqueue_fwd(self, pqk: np.ndarray, ptk: np.ndarray,
+                     base: int) -> None:
+        """Route one fragment's pair arrays: rare over-ladder pairs to
+        the host path, the rest bucketed + enqueued on the device."""
+        eng = self.eng
+        from ..ops.sw_engine import device_max_len
+        mx = np.maximum(eng.qdb.lengths[pqk], eng.tdb.lengths[ptk])
+        long = mx > device_max_len()
+        if long.any():
+            li = np.nonzero(long)[0]
+            host_pairs = list(zip(pqk[li].tolist(), ptk[li].tolist()))
+            self._fwd_host += list(zip(
+                (base + li).tolist(), eng._run_forward_host(host_pairs)))
+            keep = np.nonzero(~long)[0]
+        else:
+            keep = np.arange(len(pqk), dtype=np.int64)
+        jobs = eng._forward_jobs_arrays(pqk[keep], ptk[keep], base + keep)
+        self._fwd_pending += self._dev.enqueue(
+            jobs, eng.par.gap_open, eng.par.gap_extend, reverse=False)
+
+    def add(self, candidates: dict[int, list[int]]) -> None:
+        eng = self.eng
+        self._check_dev()
+        if self._fast:
+            qks, aqk, atk, keep_ident, pair_idx, ident_recs = \
+                eng._stage0_arrays(candidates)
+            base = self._n_pairs
+            pair_pos = np.full(len(aqk), -1, dtype=np.int64)
+            pair_pos[pair_idx] = base + np.arange(len(pair_idx))
+            self._frags.append((qks, aqk, keep_ident, pair_pos,
+                                ident_recs))
+            pqk, ptk = aqk[pair_idx], atk[pair_idx]
+            self._pair_qk.append(pqk)
+            self._pair_tk.append(ptk)
+            self._n_pairs += len(pair_idx)
+            if self._dev is not None and len(pair_idx):
+                self._enqueue_fwd(pqk, ptk, base)
+            return
+        frag_start = eng._stage0(candidates, self.items, self.pairs)
+        frag = self.pairs[frag_start:]
+        if not frag:
+            return
         if self._dev is not None:
-            from ..ops.sw_engine import device_max_len
-            ql_all, tl_all = eng.qdb.lengths, eng.tdb.lengths
-            long_loc = [i for i, (qk, tk) in enumerate(frag)
-                        if max(int(ql_all[qk]), int(tl_all[tk]))
-                        > device_max_len()]
-            if long_loc:
-                # over-ladder pairs score on the unbounded host path
-                # (synchronously; such pairs are rare)
-                self._fwd_host += list(zip(
-                    (frag_start + i for i in long_loc),
-                    eng._run_forward_host([frag[i] for i in long_loc])))
-                long_set = set(long_loc)
-                dev_loc = [i for i in range(len(frag))
-                           if i not in long_set]
-            else:
-                dev_loc = range(len(frag))
-            pos = np.fromiter((frag_start + i for i in dev_loc), np.int64)
-            jobs = eng._forward_jobs([frag[i] for i in dev_loc], 0,
-                                     positions=pos)
-            self._fwd_pending += self._dev.enqueue(
-                jobs, eng.par.gap_open, eng.par.gap_extend, reverse=False)
+            pqk = np.fromiter((p[0] for p in frag), np.int64, len(frag))
+            ptk = np.fromiter((p[1] for p in frag), np.int64, len(frag))
+            self._enqueue_fwd(pqk, ptk, frag_start)
 
     def _accept_fast(self, surv_of_pair: dict[int, int],
                      recs) -> dict[int, list[AlnRecord]]:
@@ -1095,14 +1115,14 @@ class _AlignStream:
         when max_accept/max_rejected are unset): only kept candidates
         run Python, in candidate order per query."""
         eng = self.eng
-        surv_idx = np.full(max(len(self.pairs), 1), -1, np.int64)
+        surv_idx = np.full(max(self._n_pairs, 1), -1, np.int64)
         for pi, si in surv_of_pair.items():
             surv_idx[pi] = si
         recs_ok = (np.fromiter((r is not None for r in recs), bool,
                                len(recs)) if recs
                    else np.zeros(0, dtype=bool))
         accepted: dict[int, list[AlnRecord]] = {}
-        for qks, aqk, atk, keep_ident, pair_pos, ident_recs in self._frags:
+        for qks, aqk, keep_ident, pair_pos, ident_recs in self._frags:
             for qk in qks:
                 accepted.setdefault(qk, [])
             has_pair = pair_pos >= 0
@@ -1124,19 +1144,29 @@ class _AlignStream:
 
     def finish(self) -> dict[int, list[AlnRecord]]:
         eng = self.eng
+        self._check_dev()
+        if self._fast:
+            pqk = (np.concatenate(self._pair_qk) if self._pair_qk
+                   else np.empty(0, np.int64))
+            ptk = (np.concatenate(self._pair_tk) if self._pair_tk
+                   else np.empty(0, np.int64))
+            n = self._n_pairs
+        else:
+            n = len(self.pairs)
+            pqk = np.fromiter((p[0] for p in self.pairs), np.int64, n)
+            ptk = np.fromiter((p[1] for p in self.pairs), np.int64, n)
         if self._dev is None:
-            fwd = eng._run_forward(self.pairs)
+            pairs = list(zip(pqk.tolist(), ptk.tolist()))
+            fwd = eng._run_forward(pairs)
             if not self._fast:
                 return eng._post_forward(self.items, self.pairs, fwd)
-            survivors, surv_of_pair = eng._survivor_filter(self.pairs,
-                                                           fwd, 0)
+            survivors, surv_of_pair = eng._survivor_filter(pairs, fwd, 0)
             starts = eng._run_reverse(survivors)
             recs = eng._finish_pairs(survivors, starts)
             return self._accept_fast(surv_of_pair, recs)
         from ..ops.sw_engine import device_max_len
         self._fwd_pending += self._dev.flush(
             eng.par.gap_open, eng.par.gap_extend, reverse=False)
-        n = len(self.pairs)
         score = np.zeros(n, np.int64)
         q_end = np.zeros(n, np.int64)
         t_end = np.full(n, -1, np.int64)
@@ -1147,8 +1177,6 @@ class _AlignStream:
             q_end[pos] = qe
         for pidx, (s, qe, te) in self._fwd_host:
             score[pidx], q_end[pidx], t_end[pidx] = s, qe, te
-        pqk = np.fromiter((p[0] for p in self.pairs), np.int64, n)
-        ptk = np.fromiter((p[1] for p in self.pairs), np.int64, n)
         survivors, surv_of_pair = eng._survivor_filter_arrays(
             pqk, ptk, score, q_end, t_end)
         starts: list = [None] * len(survivors)
