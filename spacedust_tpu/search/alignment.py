@@ -222,6 +222,29 @@ class AlignmentEngine:
                 self._bias_cache[qkey] = np.zeros(len(seq), dtype=np.int8)
         return self._bias_cache[qkey]
 
+    def _identity_raws_all(self) -> np.ndarray | None:
+        """Whole-DB int16 identity raw scores (scoreIdentical semantics)
+        in ONE pass over the concatenated tokens: per-key numpy calls
+        cost ~0.5 ms each under GIL/core contention with the overlapped
+        prefilter, which made the old per-query loop the align stage's
+        largest hidden host cost at scale."""
+        if getattr(self, "_ident_raws", None) is None:
+            qdb = self.qdb
+            diag = np.diagonal(self.matrix.sub_int).astype(np.int64).copy()
+            d = diag[qdb.seq_data.astype(np.int64)]
+            if self.par.comp_bias_correction:
+                allb = self._qbias_all()
+                if allb is False:
+                    self._ident_raws = False
+                    return None
+                d = d + allb.astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(d)))
+            o = qdb.offsets
+            self._ident_raws = (csum[o[1:]] - csum[o[:-1]]).astype(np.int16)
+        if self._ident_raws is False:
+            return None
+        return self._ident_raws
+
     def _identity_records_batch(self, qkeys: np.ndarray
                                 ) -> dict[int, AlnRecord]:
         """Vectorized identity fast path for many queries (scoreIdentical
@@ -240,16 +263,19 @@ class AlignmentEngine:
         if not seq_keys:
             return out
         qdb = self.qdb
-        raws = np.empty(len(seq_keys), dtype=np.int64)
-        for i, qk in enumerate(seq_keys):
-            seq = qdb.sequence(qk)
-            if self.par.comp_bias_correction:
-                bias = self._bias(qk).astype(np.int64)
-            else:
-                bias = 0
-            raws[i] = np.int16(
-                (self.matrix.sub_int[seq, seq].astype(np.int64) + bias)
-                .sum())
+        all_raws = self._identity_raws_all()
+        if all_raws is not None:
+            raws = all_raws[np.asarray(seq_keys)].astype(np.int64)
+        else:
+            # non-unit bias scale: per-key fallback
+            raws = np.empty(len(seq_keys), dtype=np.int64)
+            for i, qk in enumerate(seq_keys):
+                seq = qdb.sequence(qk)
+                bias = (self._bias(qk).astype(np.int64)
+                        if self.par.comp_bias_correction else 0)
+                raws[i] = np.int16(
+                    (self.matrix.sub_int[seq, seq].astype(np.int64) + bias)
+                    .sum())
         lens = qdb.lengths[np.asarray(seq_keys)].astype(np.int64)
         evalues = self.evaluer.compute_evalue(raws, lens)
         bits = (self.evaluer.compute_bit_score(raws) + 0.5).astype(np.int64)
