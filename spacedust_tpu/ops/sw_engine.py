@@ -476,12 +476,14 @@ class DeviceAlignDB:
         process-global, not per-executable."""
         from concurrent.futures import ThreadPoolExecutor
         np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros(8, jnp.int32)))
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # 4 concurrent loads: warm-path time is dominated by persistent-
+        # cache loads through the remote helper, which overlap well
+        with ThreadPoolExecutor(max_workers=4) as pool:
             list(pool.map(lambda lq: self.ensure_warm(lq, lq, gap_open,
                                                       gap_extend), rungs))
         # reverse-direction executables compile after the forward set is
         # hot (the forward pass dominates and dispatches first)
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             list(pool.map(lambda lq: self.ensure_warm(lq, lq, gap_open,
                                                       gap_extend, True),
                           rungs))
