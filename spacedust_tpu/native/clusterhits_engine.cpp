@@ -83,35 +83,39 @@ static double cluster_score(const Hits& h, Scratch& sc, const double* lookup,
          - 0.5 * log_ordering_pval(lookup, len, (int64_t)k, m);
 }
 
-// isCompatibleCluster with uint32 wrap (ClusterHits.cpp:137-159)
-static bool compatible(const Hits& h, const std::vector<int>& c1,
-                       const std::vector<int>& c2, uint32_t d) {
-  int64_t imin1 = INT64_MAX, imax1 = INT64_MIN, jmin1 = INT64_MAX,
-          jmax1 = INT64_MIN;
-  for (int n : c1) {
-    imin1 = std::min(imin1, h.qpos[n]); imax1 = std::max(imax1, h.qpos[n]);
-    jmin1 = std::min(jmin1, h.tpos[n]); jmax1 = std::max(jmax1, h.tpos[n]);
-  }
-  int64_t imin2 = INT64_MAX, imax2 = INT64_MIN, jmin2 = INT64_MAX,
-          jmax2 = INT64_MIN;
-  for (int n : c2) {
-    imin2 = std::min(imin2, h.qpos[n]); imax2 = std::max(imax2, h.qpos[n]);
-    jmin2 = std::min(jmin2, h.tpos[n]); jmax2 = std::max(jmax2, h.tpos[n]);
-  }
-  const uint32_t ja = (uint32_t)(jmin1 - jmax2), jb = (uint32_t)(jmin2 - jmax1);
-  const uint32_t ia = (uint32_t)(imin1 - imax2), ib = (uint32_t)(imin2 - imax1);
+// isCompatibleCluster with uint32 wrap (ClusterHits.cpp:137-159).
+// Per-node position bounding boxes are CACHED and merged in O(1) —
+// they are exactly the min/max the reference recomputes by scanning
+// members each call, so compatibility decisions are identical while
+// the dominant row-rescore loop drops from O(sum cluster sizes) to
+// O(K) box tests per merge.
+struct Box {
+  int64_t imin, imax, jmin, jmax;
+};
+
+static inline Box box_union(const Box& a, const Box& b) {
+  return {std::min(a.imin, b.imin), std::max(a.imax, b.imax),
+          std::min(a.jmin, b.jmin), std::max(a.jmax, b.jmax)};
+}
+
+static inline bool compatible(const Box& b1, const Box& b2, uint32_t d) {
+  const uint32_t ja = (uint32_t)(b1.jmin - b2.jmax),
+                 jb = (uint32_t)(b2.jmin - b1.jmax);
+  const uint32_t ia = (uint32_t)(b1.imin - b2.imax),
+                 ib = (uint32_t)(b2.imin - b1.imax);
   return std::min(ja, jb) <= d && std::min(ia, ib) <= d;
 }
 
 // groupNodes + clusterMatchScore for the (i, j) node pair
 static double pair_score(const Hits& h,
                          const std::vector<std::vector<int>>& nodes,
+                         const std::vector<Box>& boxes,
                          int i, int j, uint32_t d, Scratch& sc,
                          const double* lookup, int64_t len, double logq0) {
   const auto& n1 = nodes[i];
   const auto& n2 = nodes[j];
   if (n1.empty() || n2.empty()) return 0.0;
-  if (!compatible(h, n1, n2, d)) return 0.0;
+  if (!compatible(boxes[i], boxes[j], d)) return 0.0;
   sc.members.clear();
   sc.members.insert(sc.members.end(), n1.begin(), n1.end());
   sc.members.insert(sc.members.end(), n2.begin(), n2.end());
@@ -135,7 +139,11 @@ int cluster_hits_engine(const int64_t* qpos, const int64_t* tpos,
   const uint32_t d = (uint32_t)max_gene_gaps;
   const double logq0 = std::log(q0);
   std::vector<std::vector<int>> nodes(K);
-  for (int n = 0; n < K; ++n) nodes[n] = {n};
+  std::vector<Box> boxes(K);
+  for (int n = 0; n < K; ++n) {
+    nodes[n] = {n};
+    boxes[n] = {qpos[n], qpos[n], tpos[n], tpos[n]};
+  }
   std::vector<double> dist((size_t)K * K, 0.0);
   std::vector<int> dmin(K, 0);
 
@@ -148,8 +156,8 @@ int cluster_hits_engine(const int64_t* qpos, const int64_t* tpos,
       int best = 0;
       for (int j = 0; j < K; ++j) {
         if (i != j)
-          row[j] = pair_score(h, nodes, i, j, d, sc, lookup, lookup_len,
-                              logq0);
+          row[j] = pair_score(h, nodes, boxes, i, j, d, sc, lookup,
+                              lookup_len, logq0);
         if (row[j] > row[best]) best = j;  // strict >: first max wins
       }
       dmin[i] = best;
@@ -171,17 +179,21 @@ int cluster_hits_engine(const int64_t* qpos, const int64_t* tpos,
 
     nodes[i1].insert(nodes[i1].end(), nodes[i2].begin(), nodes[i2].end());
     nodes[i2].clear();
+    boxes[i1] = box_union(boxes[i1], boxes[i2]);
 
     // row rescore is the expensive part; scores are order-independent,
-    // the dmin maintenance below replicates the sequential j-scan
+    // the dmin maintenance below replicates the sequential j-scan.
+    // The if-clause keeps small-K merges serial: one merge = one
+    // parallel region, and ~400k tiny fork/join barriers both waste
+    // time and busy-wait pathologically when the host is shared
     std::vector<double> newrow(K, 0.0);
-#pragma omp parallel
+#pragma omp parallel if (K >= 512)
     {
       Scratch psc;
 #pragma omp for schedule(dynamic, 16)
       for (int j = 0; j < K; ++j) {
         if (j != i1 && j != i2)
-          newrow[j] = pair_score(h, nodes, i1, j, d, psc, lookup,
+          newrow[j] = pair_score(h, nodes, boxes, i1, j, d, psc, lookup,
                                  lookup_len, logq0);
       }
     }
