@@ -154,6 +154,11 @@ class AlignmentEngine:
         # scoring alphabet width; subclasses may widen it (the structure
         # mode scores over the combined 3Di x AA alphabet of 441 symbols)
         self.alpha = 21
+        # device rung ladder; subclasses may coarsen it (the structure
+        # engine's XLA-scan buckets compile slowly, so it trades padding
+        # for fewer executables)
+        from ..ops.sw_engine import LADDER
+        self.ladder = LADDER
         self._dev = None          # lazy DeviceAlignDB (sequence mode only)
         self._dev_tried = False
         import threading
@@ -641,7 +646,7 @@ class AlignmentEngine:
             try:
                 dev = self._device_db()
                 if dev is not None:
-                    from ..ops.sw_engine import (LADDER, device_max_len)
+                    from ..ops.sw_engine import device_max_len
                     # a pair's rung is bucket_len(max(ql, tl)) == the
                     # longer sequence's own bucket, so the EXACT set of
                     # rungs this DB pair can need is the set of buckets
@@ -651,7 +656,7 @@ class AlignmentEngine:
                     lens = np.concatenate([self.qdb.lengths,
                                            self.tdb.lengths])
                     lens = lens[lens <= device_max_len()]
-                    ladder = np.asarray(LADDER)
+                    ladder = np.asarray(self.ladder)
                     need = np.unique(np.searchsorted(ladder, lens))
                     rungs = [int(ladder[i]) for i in need]
                     dev.warm(rungs, self.par.gap_open, self.par.gap_extend)
@@ -721,13 +726,12 @@ class AlignmentEngine:
                              positions: np.ndarray):
         """Array-native forward-job bucketing (the streaming fast path
         never materializes pair tuples)."""
-        from ..ops.sw_engine import LADDER
         ql = self.qdb.lengths[qk].astype(np.int32)
         tl = self.tdb.lengths[tk].astype(np.int32)
         # square rungs only: one executable serves both dimensions
         # (and the reverse pass), keeping the compiled-shape count at
         # the ladder size; rung assignment vectorized over the ladder
-        ladder = np.asarray(LADDER, dtype=np.int64)
+        ladder = np.asarray(self.ladder, dtype=np.int64)
         ri = np.searchsorted(ladder, np.maximum(ql, tl))
         jobs = []
         for r in np.unique(ri):
@@ -786,14 +790,13 @@ class AlignmentEngine:
         """Bucketed reverse jobs for a survivor fragment (reversed
         prefixes [0..q_end] x [0..t_end], terminate = forward score);
         positions are global survivor indices."""
-        from ..ops.sw_engine import LADDER
         n = len(survivors)
         qk = np.fromiter((s[0] for s in survivors), np.int64, n)
         tk = np.fromiter((s[1] for s in survivors), np.int64, n)
         term = np.fromiter((s[2] for s in survivors), np.int32, n)
         ql = np.fromiter((s[3] + 1 for s in survivors), np.int32, n)
         tl = np.fromiter((s[4] + 1 for s in survivors), np.int32, n)
-        ladder = np.asarray(LADDER, dtype=np.int64)
+        ladder = np.asarray(self.ladder, dtype=np.int64)
         ri = np.searchsorted(ladder, np.maximum(ql, tl))
         jobs = []
         for r in np.unique(ri):

@@ -128,6 +128,10 @@ class StructureAlignmentEngine(AlignmentEngine):
             raise ValueError("structure alignment requires _ss (3Di) data")
         super().__init__(query_db, target_db, params, same_qt_db=same_qt_db)
         self.alpha = COMBINED_ALPHA
+        # coarse rung ladder: each structure bucket is a fresh XLA-scan
+        # compile (no Pallas variant), so fewer executables beat the
+        # padding they cost on this mode's small workloads
+        self.ladder = (256, 512, 1024, 2048, 4096, 32768)
         self.m3di, self.aa_scaled, gumbel = combined_matrices()
         self.evaluer = EvalueComputation(target_db.total_residues, gumbel)
         self._prof_cache: dict[int, np.ndarray] = {}
